@@ -1,0 +1,63 @@
+"""Auto-derivation of run parameters.
+
+Mirrors the reference behaviour (reference: src/params/params_util.py:58-138):
+train-mode registry, per-dataset default task, default batch sizes
+(256 pretrain / 128 otherwise), sequence sampler only for FOCAL, and the
+experiment-folder layout — while replacing torch device selection with JAX.
+"""
+
+import getpass
+
+from focal_tpu.params.yaml_utils import load_dataset_config
+from focal_tpu.params.output_paths import set_model_weight_folder, set_model_weight_file, set_output_paths
+
+LEARN_FRAMEWORK_REGISTRY = {
+    "FOCAL": "contrastive",
+    "no": "supervised",
+}
+
+DATASET_DEFAULT_TASK = {
+    "ACIDS": "vehicle_classification",
+    "MOD": "vehicle_classification",
+    "RealWorld_HAR": "activity_classification",
+    "PAMAP2": "activity_classification",
+}
+
+
+def get_train_mode(learn_framework):
+    if learn_framework not in LEARN_FRAMEWORK_REGISTRY:
+        raise ValueError(f"Invalid learn_framework provided: {learn_framework}")
+    return LEARN_FRAMEWORK_REGISTRY[learn_framework]
+
+
+def set_task(args):
+    if getattr(args, "task", None) is not None:
+        return args.task
+    if args.dataset in DATASET_DEFAULT_TASK:
+        return DATASET_DEFAULT_TASK[args.dataset]
+    raise ValueError(f"No default task known for dataset {args.dataset}; pass -task.")
+
+
+def set_batch_size(args):
+    if args.batch_size is None:
+        args.batch_size = 256 if args.stage == "pretrain" else 128
+    return args
+
+
+def set_auto_params(args):
+    """Fill in every derived field on the args namespace."""
+    args.username = getpass.getuser()
+    args.task = set_task(args)
+    args.dataset_config = load_dataset_config(args.dataset, getattr(args, "dataset_config_path", None))
+
+    # sequence (subsequence) sampling only applies to FOCAL pretraining
+    args.sequence_sampler = args.learn_framework in {"FOCAL"}
+
+    args.train_mode = get_train_mode(args.learn_framework)
+    args = set_batch_size(args)
+
+    # experiment folders + logging
+    args = set_model_weight_folder(args)
+    args = set_model_weight_file(args)
+    args = set_output_paths(args)
+    return args

@@ -1,0 +1,100 @@
+"""Command-line surface.
+
+Keeps the reference's flag set intact (reference: src/params/base_params.py:14-86)
+so existing MOD launch commands run unchanged, and adds TPU-specific knobs
+behind new flags (all with reference-equivalent defaults).
+"""
+
+import argparse
+
+from focal_tpu.params.auto import set_auto_params
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="FOCAL-TPU")
+
+    # ---- reference-parity flags
+    parser.add_argument("-tag", type=str, default=None, help="Execution tag, for record only.")
+    parser.add_argument("-dataset", type=str, default="MOD", help="Dataset to train/evaluate on.")
+    parser.add_argument("-task", type=str, default=None, help="Downstream task.")
+    parser.add_argument(
+        "-model", type=str, default="SW_Transformer", help="Backbone: DeepSense | SW_Transformer."
+    )
+    parser.add_argument(
+        "-learn_framework", type=str, default="no", help="Learning framework: FOCAL | no."
+    )
+    parser.add_argument(
+        "-stage", type=str, default="pretrain", help="pretrain | finetune (contrastive only)."
+    )
+    parser.add_argument(
+        "-label_ratio", type=float, default=1.0, help="Ratio of labeled data for supervised/finetune."
+    )
+    parser.add_argument("-model_weight", type=str, default=None, help="Checkpoint dir to evaluate/finetune.")
+    parser.add_argument("-batch_size", type=int, default=None, help="Global batch size.")
+    parser.add_argument(
+        "-gpu", type=str, default="0", help="Accepted for CLI parity; device selection is JAX-native."
+    )
+
+    # ---- TPU-framework flags (new)
+    parser.add_argument(
+        "-dataset_config",
+        dest="dataset_config_path",
+        type=str,
+        default=None,
+        help="Explicit path to the dataset recipe yaml.",
+    )
+    parser.add_argument(
+        "-compute_dtype",
+        type=str,
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="Activation/matmul dtype on device (params always float32).",
+    )
+    parser.add_argument(
+        "-epochs", type=int, default=None, help="Override the number of training epochs from the recipe."
+    )
+    parser.add_argument(
+        "-synthetic",
+        action="store_true",
+        help="Train on a deterministic synthetic dataset shaped like the recipe (no files needed).",
+    )
+    parser.add_argument(
+        "-synthetic_samples", type=int, default=512, help="Synthetic dataset size (train split)."
+    )
+    parser.add_argument(
+        "-data_parallel",
+        type=int,
+        default=0,
+        help="Number of devices on the data mesh axis (0 = all local devices).",
+    )
+    parser.add_argument("-seed", type=int, default=0, help="PRNG seed.")
+    parser.add_argument(
+        "-clip_grad",
+        action="store_true",
+        help="Apply the recipe's clip_grad value. Off by default: the reference "
+        "declares clip_grad in yaml but never applies it (reference: "
+        "src/train_utils/supervised_train.py:65-79 has no clipping).",
+    )
+    parser.add_argument(
+        "-mixup_labels",
+        action="store_true",
+        help="Propagate mixup's soft labels to the loss. Off by default: the "
+        "reference discards them (reference: src/data_augmenter/Augmenter.py:68).",
+    )
+    parser.add_argument(
+        "-val_epochs", type=int, default=None, help="Validate every N epochs (default: stage-specific)."
+    )
+    parser.add_argument("-output_dir", type=str, default=None, help="Root for weights/ and result/ trees.")
+    return parser
+
+
+def parse_train_params(argv=None):
+    args = build_parser().parse_args(argv)
+    args.option = "train"
+    return set_auto_params(args)
+
+
+def parse_test_params(argv=None):
+    args = build_parser().parse_args(argv)
+    args.option = "test"
+    return set_auto_params(args)
