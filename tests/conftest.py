@@ -3,10 +3,16 @@ multi-chip sharding logic is exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# a sitecustomize on this machine re-exports JAX_PLATFORMS after the shell env;
+# the config API wins over both
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
