@@ -33,6 +33,9 @@ def get_train_mode(learn_framework):
 def set_task(args):
     if getattr(args, "task", None) is not None:
         return args.task
+    # recipes may name their own default task; fall back to the registry
+    if isinstance(getattr(args, "dataset_config", None), dict) and args.dataset_config.get("default_task"):
+        return args.dataset_config["default_task"]
     if args.dataset in DATASET_DEFAULT_TASK:
         return DATASET_DEFAULT_TASK[args.dataset]
     raise ValueError(f"No default task known for dataset {args.dataset}; pass -task.")
@@ -47,8 +50,8 @@ def set_batch_size(args):
 def set_auto_params(args):
     """Fill in every derived field on the args namespace."""
     args.username = getpass.getuser()
-    args.task = set_task(args)
     args.dataset_config = load_dataset_config(args.dataset, getattr(args, "dataset_config_path", None))
+    args.task = set_task(args)
 
     # sequence (subsequence) sampling only applies to FOCAL pretraining
     args.sequence_sampler = args.learn_framework in {"FOCAL"}

@@ -1,0 +1,71 @@
+"""Checkpointing with orbax.
+
+Keeps the reference's best/latest UX (reference: output_paths.py:165-199,
+pretrain.py:94-100) but saves the FULL train state (params, BatchNorm stats,
+optimizer state, step) so runs are resumable — the reference only saves
+weights. Pretrain checkpoints additionally keep a params+batch_stats-only
+view for finetune loading, mirroring "backbone only" saves.
+"""
+
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_state(path, state, extra=None):
+    """Save a TrainState (or any pytree) to `path` (a directory)."""
+    payload = {
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+        "step": np.asarray(state.step),
+    }
+    if extra:
+        payload["extra"] = extra
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def save_params(path, params, batch_stats=None):
+    """Backbone-only save (reference pretrain saves backbone state_dict only)."""
+    payload = {"params": _to_host(params), "batch_stats": _to_host(batch_stats or {})}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore(path):
+    """Restore whatever pytree was saved at `path`."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_params_into(state, path, load_class_layer=True):
+    """Partial-load checkpoint params into a TrainState, optionally excluding
+    the classifier head (reference: weight_utils.py:9-25)."""
+    saved = restore(path)
+    saved_params = saved["params"]
+    saved_stats = saved.get("batch_stats", {})
+
+    def merge(current, incoming, drop_class):
+        out = {}
+        for key, cur in current.items():
+            if drop_class and "class_layer" in str(key):
+                out[key] = cur
+            elif key in incoming:
+                inc = incoming[key]
+                out[key] = merge(cur, inc, drop_class) if isinstance(cur, dict) else inc
+            else:
+                out[key] = cur
+        return out
+
+    new_params = merge(dict(state.params), dict(saved_params), not load_class_layer)
+    new_stats = merge(dict(state.batch_stats), dict(saved_stats), False) if saved_stats else state.batch_stats
+    return state.replace(params=new_params, batch_stats=new_stats)

@@ -1,0 +1,219 @@
+"""Stage loops: supervised training, FOCAL pretraining, finetuning
+(reference: src/train_utils/supervised_train.py:18-108, pretrain.py:21-107,
+finetune.py:18-96).
+
+Loop structure parity: epoch-granular schedules, validation every 5 epochs
+(10 for pretrain) running val AND test, best-supervised/finetune by val
+accuracy, best-pretrain by val loss, pretrain checkpoints are backbone-only.
+"""
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focal_tpu.data.loader import create_dataloader
+from focal_tpu.models import build_backbone
+from focal_tpu.ops import build_augmenter
+from focal_tpu.params.output_paths import checkpoint_paths
+from focal_tpu.train import checkpoint as ckpt
+from focal_tpu.train import evaluate as ev
+from focal_tpu.train.losses import make_focal_loss
+from focal_tpu.train.optim import build_optimizer
+from focal_tpu.train.state import init_state, param_count
+from focal_tpu.train.steps import (
+    make_eval_step,
+    make_finetune_train_step,
+    make_pretrain_eval_step,
+    make_pretrain_step,
+    make_supervised_train_step,
+)
+from focal_tpu.parallel.mesh import make_mesh_plan, put_replicated
+
+
+class Run:
+    """Everything a stage loop needs, built once."""
+
+    def __init__(self, args):
+        self.args = args
+        self.mesh_plan = make_mesh_plan(getattr(args, "data_parallel", 0))
+        self.train_loader = create_dataloader("train", args)
+        self.val_loader = create_dataloader("val", args)
+        self.test_loader = create_dataloader("test", args)
+        logging.info(
+            f"= Dataloaders: train {len(self.train_loader.dataset)} samples / "
+            f"{len(self.train_loader)} steps, val {len(self.val_loader.dataset)}, "
+            f"test {len(self.test_loader.dataset)}"
+        )
+
+        self.augmenter = build_augmenter(args)
+        self.model = build_backbone(args)
+
+        # device-resident split data (replicated over the mesh)
+        self.device_data = {}
+        self.device_labels = {}
+        for name, loader in (
+            ("train", self.train_loader),
+            ("val", self.val_loader),
+            ("test", self.test_loader),
+        ):
+            ds = loader.dataset
+            self.device_data[name] = put_replicated(
+                {loc: {m: jnp.asarray(a) for m, a in mods.items()} for loc, mods in ds.data.items()},
+                self.mesh_plan,
+            )
+            self.device_labels[name] = put_replicated(jnp.asarray(ds.labels), self.mesh_plan)
+
+    def sample_freq_batch(self, batch_size=2):
+        """A tiny freq-domain batch for model init."""
+        ds = self.train_loader.dataset
+        batch = {
+            loc: {m: jnp.asarray(a[:batch_size]) for m, a in mods.items()}
+            for loc, mods in ds.data.items()
+        }
+        return self.augmenter.no(batch)
+
+    def epochs(self, scheduler_key):
+        if getattr(self.args, "epochs", None):
+            return self.args.epochs
+        return self.args.dataset_config[scheduler_key]["train_epochs"]
+
+
+def _epoch_rng(args):
+    return jax.random.key(args.seed)
+
+
+def supervised_train(args):
+    run = Run(args)
+    train_epochs = (
+        args.epochs if getattr(args, "epochs", None) else args.dataset_config[args.model]["lr_scheduler"]["train_epochs"]
+    )
+    tx_builder = lambda params: build_optimizer(
+        args, params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
+    )
+    return _classifier_loop(args, run, train_epochs, make_supervised_train_step, tx_builder, stage_name="supervised")
+
+
+def finetune(args):
+    run = Run(args)
+    train_epochs = (
+        args.epochs
+        if getattr(args, "epochs", None)
+        else args.dataset_config[args.learn_framework]["finetune_lr_scheduler"]["train_epochs"]
+    )
+    tx_builder = lambda params: build_optimizer(
+        args, params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
+    )
+    return _classifier_loop(args, run, train_epochs, make_finetune_train_step, tx_builder, stage_name="finetune")
+
+
+def _classifier_loop(args, run, train_epochs, make_step, tx_builder, stage_name):
+    """Shared supervised/finetune loop (they differ in augmentation + init)."""
+    sample = run.sample_freq_batch()
+    rng = _epoch_rng(args)
+    # init with a throwaway tx to create params, then rebuild with freeze mask
+    import optax
+
+    state = init_state(args, run.model, sample, optax.identity(), rng)
+    if stage_name == "finetune":
+        # load the pretrained backbone minus the class layer
+        _, pretrain_latest = checkpoint_paths(args, stage="pretrain")
+        logging.info(f"= Loading pretrained backbone from {pretrain_latest}")
+        state = ckpt.load_params_into(state, pretrain_latest, load_class_layer=False)
+    tx, lr_fn = tx_builder(state.params)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    state = put_replicated(state, run.mesh_plan)
+    logging.info(f"= Model params: {param_count(state.params):,}")
+
+    train_step = make_step(run.model, run.augmenter, run.mesh_plan)
+    eval_step = make_eval_step(run.model, run.augmenter, "class", run.mesh_plan)
+
+    best_path, latest_path = checkpoint_paths(args)
+    val_epochs = args.val_epochs or 5
+    best_val_acc = -1.0
+    step_rng = jax.random.key(args.seed + 1)
+    data, labels = run.device_data["train"], run.device_labels["train"]
+
+    start = time.time()
+    for epoch in range(train_epochs):
+        losses = []
+        for plan in run.train_loader:
+            state, metrics = train_step(state, data, labels, jnp.asarray(plan.idx), step_rng)
+            losses.append(metrics["loss"])
+        if epoch % val_epochs == 0 or epoch == train_epochs - 1:
+            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            val_loss, val_metrics = ev.eval_supervised(
+                args, state, eval_step, run.val_loader, run.device_data["val"], run.device_labels["val"]
+            )
+            test_loss, test_metrics = ev.eval_supervised(
+                args, state, eval_step, run.test_loader, run.device_data["test"], run.device_labels["test"]
+            )
+            logging.info(f"[{stage_name}] epoch {epoch}: train loss {train_loss:.5f}")
+            ev.log_val_test(stage_name, epoch, val_loss, val_metrics, test_loss, test_metrics)
+            ckpt.save_state(latest_path, state)
+            if val_metrics[0] > best_val_acc:
+                best_val_acc = val_metrics[0]
+                ckpt.save_state(best_path, state)
+    logging.info(f"[{stage_name}] total time {time.time() - start:.1f}s, best val acc {best_val_acc:.5f}")
+    return state, best_val_acc
+
+
+def pretrain(args):
+    run = Run(args)
+    train_epochs = (
+        args.epochs
+        if getattr(args, "epochs", None)
+        else args.dataset_config[args.learn_framework]["pretrain_lr_scheduler"]["train_epochs"]
+    )
+    sample = run.sample_freq_batch()
+    rng = _epoch_rng(args)
+    import optax
+
+    state = init_state(args, run.model, sample, optax.identity(), rng)
+    tx, _ = build_optimizer(
+        args, state.params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
+    )
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    state = put_replicated(state, run.mesh_plan)
+    logging.info(f"= Model params: {param_count(state.params):,}")
+
+    focal_loss = make_focal_loss(args)
+    train_step = make_pretrain_step(run.model, run.augmenter, focal_loss, run.mesh_plan)
+    loss_step = make_pretrain_eval_step(run.model, run.augmenter, focal_loss, run.mesh_plan)
+    feat_step = make_eval_step(run.model, run.augmenter, "feat", run.mesh_plan)
+
+    best_path, latest_path = checkpoint_paths(args)
+    val_epochs = args.val_epochs or 10
+    best_val_loss = np.inf
+    step_rng = jax.random.key(args.seed + 1)
+    eval_rng = jax.random.key(args.seed + 2)
+    data = run.device_data["train"]
+
+    start = time.time()
+    for epoch in range(train_epochs):
+        losses = []
+        for plan in run.train_loader:
+            state, metrics = train_step(state, data, jnp.asarray(plan.idx), step_rng)
+            losses.append(metrics["loss"])
+        if epoch % val_epochs == 0 or epoch == train_epochs - 1:
+            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            estimator = ev.compute_knn(state, feat_step, run.train_loader, data)
+            val_loss, val_metrics = ev.eval_pretrained(
+                args, state, feat_step, loss_step, estimator,
+                run.val_loader, run.device_data["val"], jax.random.fold_in(eval_rng, epoch),
+            )
+            test_loss, test_metrics = ev.eval_pretrained(
+                args, state, feat_step, loss_step, estimator,
+                run.test_loader, run.device_data["test"], jax.random.fold_in(eval_rng, epoch + 1),
+            )
+            logging.info(f"[pretrain] epoch {epoch}: train loss {train_loss:.5f}")
+            ev.log_val_test("pretrain", epoch, val_loss, val_metrics, test_loss, test_metrics)
+            # backbone-only saves (reference: pretrain.py:94-100)
+            ckpt.save_params(latest_path, state.params, state.batch_stats)
+            if val_loss < best_val_loss:
+                best_val_loss = val_loss
+                ckpt.save_params(best_path, state.params, state.batch_stats)
+    logging.info(f"[pretrain] total time {time.time() - start:.1f}s, best val loss {best_val_loss:.5f}")
+    return state, best_val_loss

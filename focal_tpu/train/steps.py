@@ -1,0 +1,173 @@
+"""Jitted training/eval steps.
+
+Each step is one XLA program: gather the batch from the device-resident data
+arrays, augment (+FFT), run the model, compute the loss, update. The
+``data``/``labels`` arguments are the whole split already living in HBM; the
+``idx`` array selects the batch, so steady-state steps move no bytes over
+PCIe/DCN (contrast: reference copies every batch host->device at
+src/data_augmenter/Augmenter.py:128-138).
+
+Sharding: ``make_*_step`` functions accept an optional
+``focal_tpu.parallel.MeshPlan``; batches are sharded on the leading axis over
+the data mesh axis, parameters replicated. XLA inserts the gradient psums.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from focal_tpu.train.losses import cross_entropy
+
+
+def gather_batch(data, idx):
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+
+
+def _apply_train(model, state, freq_x, dropout_rng, head):
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out, mutated = model.apply(
+        variables,
+        freq_x,
+        train=True,
+        head=head,
+        rngs={"dropout": dropout_rng},
+        mutable=["batch_stats"],
+    )
+    return out, mutated["batch_stats"]
+
+
+def make_supervised_train_step(model, augmenter, mesh_plan=None):
+    """(state, data, labels, idx, rng) -> (state, metrics). Used by both
+    supervised training and finetuning (finetune differs only in augmentation:
+    'no' instead of 'fixed'; reference: finetune.py:54-67)."""
+
+    fixed = augmenter.fixed
+
+    def step(state, data, labels, idx, rng):
+        rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        batch = gather_batch(data, idx)
+        batch_labels = jnp.take(labels, idx, axis=0)
+        freq_x, targets = fixed(rng_aug, batch, batch_labels)
+
+        def loss_fn(params):
+            out, new_stats = _apply_train(
+                model, state.replace(params=params), freq_x, rng_drop, "class"
+            )
+            return cross_entropy(out, targets), (out, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        hard = targets.argmax(-1) if targets.ndim > 1 else targets
+        acc = jnp.mean((logits.argmax(-1) == hard).astype(jnp.float32))
+        return state, {"loss": loss, "acc": acc}
+
+    return _maybe_shard(step, mesh_plan)
+
+
+def make_finetune_train_step(model, augmenter, mesh_plan=None):
+    """Same as supervised but with the no-aug pipeline
+    (reference: finetune.py:54-67 uses augmenter.forward('no'))."""
+
+    noaug = augmenter.no
+
+    def step(state, data, labels, idx, rng):
+        _, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        batch = gather_batch(data, idx)
+        targets = jnp.take(labels, idx, axis=0)
+        freq_x = noaug(batch)
+
+        def loss_fn(params):
+            out, new_stats = _apply_train(
+                model, state.replace(params=params), freq_x, rng_drop, "class"
+            )
+            return cross_entropy(out, targets), (out, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        acc = jnp.mean((logits.argmax(-1) == targets).astype(jnp.float32))
+        return state, {"loss": loss, "acc": acc}
+
+    return _maybe_shard(step, mesh_plan)
+
+
+def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None):
+    """FOCAL pretraining: two random views -> projector features -> loss
+    (reference: loss_calc_utils.py:1-22 + pretrain.py:62-74)."""
+
+    def step(state, data, idx, rng):
+        base = jax.random.fold_in(rng, state.step)
+        rng_v1, rng_v2, rng_drop1, rng_drop2 = jax.random.split(base, 4)
+        batch = gather_batch(data, idx)
+        view1 = augmenter.random(rng_v1, batch)
+        view2 = augmenter.random(rng_v2, batch)
+
+        def loss_fn(params):
+            f1, stats1 = _apply_train(model, state.replace(params=params), view1, rng_drop1, "proj")
+            st = state.replace(params=params, batch_stats=stats1)
+            f2, stats2 = _apply_train(model, st, view2, rng_drop2, "proj")
+            loss, parts = focal_loss(f1, f2)
+            return loss, (parts, stats2)
+
+        (loss, (parts, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss, **parts}
+
+    return _maybe_shard(step, mesh_plan, has_labels=False)
+
+
+def make_eval_step(model, augmenter, head="class", mesh_plan=None):
+    """(state, data, idx) -> model outputs on the no-aug pipeline."""
+
+    def step(state, data, idx):
+        batch = gather_batch(data, idx)
+        freq_x = augmenter.no(batch)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, freq_x, train=False, head=head)
+
+    if mesh_plan is None:
+        return jax.jit(step, static_argnames=())
+    in_shardings = (mesh_plan.replicated, mesh_plan.replicated, mesh_plan.batch_sharded)
+    return jax.jit(step, in_shardings=in_shardings, out_shardings=mesh_plan.batch_sharded)
+
+
+def make_pretrain_eval_step(model, augmenter, focal_loss, mesh_plan=None):
+    """Pretrain loss on two fresh random views, eval mode (no dropout);
+    reference: eval_functions.py:65-80 reuses calc_pretrain_loss."""
+
+    def step(state, data, idx, rng):
+        rng_v1, rng_v2 = jax.random.split(rng)
+        batch = gather_batch(data, idx)
+        view1 = augmenter.random(rng_v1, batch)
+        view2 = augmenter.random(rng_v2, batch)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        f1 = model.apply(variables, view1, train=False, head="proj")
+        f2 = model.apply(variables, view2, train=False, head="proj")
+        loss, _ = focal_loss(f1, f2)
+        return loss
+
+    if mesh_plan is None:
+        return jax.jit(step)
+    in_shardings = (
+        mesh_plan.replicated,
+        mesh_plan.replicated,
+        mesh_plan.batch_sharded,
+        mesh_plan.replicated,
+    )
+    return jax.jit(step, in_shardings=in_shardings)
+
+
+def _maybe_shard(step, mesh_plan, has_labels=True):
+    """jit the step; with a mesh plan, shard batch indices over the data axis
+    and keep state replicated. donate the state for in-place updates."""
+    if mesh_plan is None:
+        return jax.jit(step, donate_argnums=(0,))
+    r, b = mesh_plan.replicated, mesh_plan.batch_sharded
+    if has_labels:
+        in_shardings = (r, r, r, b, r)
+    else:
+        in_shardings = (r, r, b, r)
+    return jax.jit(step, in_shardings=in_shardings, donate_argnums=(0,))

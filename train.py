@@ -1,0 +1,39 @@
+"""Training CLI (reference surface: src/train.py:25-94).
+
+Examples:
+  python train.py -model=DeepSense -dataset=MOD -learn_framework=no -synthetic
+  python train.py -model=DeepSense -dataset=MOD -learn_framework=FOCAL -stage=pretrain
+  python train.py -model=DeepSense -dataset=MOD -learn_framework=FOCAL -stage=finetune
+"""
+
+import logging
+import warnings
+
+warnings.simplefilter("ignore", UserWarning)
+logging.getLogger("absl").setLevel(logging.WARNING)
+
+from focal_tpu.params import parse_train_params
+from focal_tpu.train.loops import finetune, pretrain, supervised_train
+
+
+def train(args):
+    if args.train_mode == "supervised":
+        return supervised_train(args)
+    if args.stage == "pretrain":
+        return pretrain(args)
+    if args.stage == "finetune":
+        return finetune(args)
+    raise ValueError(f"Invalid stage ({args.stage}) provided.")
+
+
+def main_train():
+    args = parse_train_params()
+    logging.info(
+        f"= Run: dataset={args.dataset} model={args.model} framework={args.learn_framework} "
+        f"stage={args.stage} mode={args.train_mode} task={args.task} batch={args.batch_size}"
+    )
+    train(args)
+
+
+if __name__ == "__main__":
+    main_train()
