@@ -1,0 +1,292 @@
+"""Shifted-window transformer blocks.
+
+Functional rebuild of the reference's Swin stack
+(reference: src/models/SwinModules.py:18-565) with every geometry decision —
+padded sizes, window shrink, shift sizes, SW-MSA attention masks, relative
+position indices — resolved to static constants at module-build time, so the
+compiled program is pure reshapes, rolls and batched matmuls on the MXU.
+
+Window-shrink parity (SwinModules.py:222-236): when a stage's resolution is
+not larger than the window along an axis, the window collapses to that
+resolution and the shift on that axis becomes 0; masking only happens when
+BOTH shift components are positive (SwinModules.py:262-291,305).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_partition(x, wh, ww):
+    """[B, H, W, C] -> [B*nW, wh*ww, C] (reference: SwinModules.py:37-52)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, wh * ww, C)
+
+
+def window_reverse(windows, wh, ww, H, W):
+    """[B*nW, wh*ww, C] -> [B, H, W, C] (reference: SwinModules.py:55-70)."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // (H * W // wh // ww)
+    x = windows.reshape(B, H // wh, W // ww, wh, ww, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def relative_position_index(wh, ww):
+    """Static [wh*ww, wh*ww] index into the bias table
+    (reference: SwinModules.py:100-111)."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))  # [2, wh, ww]
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, N, N]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # [N, N]
+
+
+def shifted_window_mask(H, W, wh, ww, sh, sw):
+    """Static additive mask [nW, N, N] for SW-MSA
+    (reference: SwinModules.py:262-291)."""
+    # pure numpy: this runs at trace time and must stay a compile-time constant
+    img_mask = np.zeros((H, W), np.float32)
+    h_slices = (slice(0, -wh), slice(-wh, -sh), slice(-sh, None))
+    w_slices = (slice(0, -ww), slice(-ww, -sw), slice(-sw, None))
+    cnt = 0
+    for h in h_slices:
+        for w in w_slices:
+            img_mask[h, w] = cnt
+            cnt += 1
+    mask_windows = (
+        img_mask.reshape(H // wh, wh, W // ww, ww)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, wh * ww)
+    )
+    attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (reference: SwinModules.py:73-152)."""
+
+    dim: int
+    window_size: Sequence[int]  # (wh, ww)
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        B_, N, C = x.shape
+        wh, ww = self.window_size
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
+        )
+        rel_index = relative_position_index(wh, ww).reshape(-1)
+        bias = bias_table[rel_index].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(jnp.float32)
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, self.num_heads, N, N)
+            attn = attn + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(B_, self.num_heads, N, N)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath used at SwinModules.py:257)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate == 0.0:
+            return x
+        if not train:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """fc -> GELU -> drop -> fc -> drop (reference: SwinModules.py:18-34)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
+        return nn.Dropout(self.drop, deterministic=not train)(x)
+
+
+class SwinBlock(nn.Module):
+    """One (S)W-MSA + MLP block (reference: SwinModules.py:171-343)."""
+
+    dim: int
+    input_resolution: Sequence[int]  # (H, W)
+    num_heads: int
+    window_size: Sequence[int]
+    shift_size: Sequence[int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+
+        # static window-shrink rule (SwinModules.py:222-236)
+        wh, ww = self.window_size
+        sh, sw = self.shift_size
+        if H <= wh:
+            sh, wh = 0, H
+        if W <= ww:
+            sw, ww = 0, W
+        shifted = min(sh, sw) > 0
+        mask = shifted_window_mask(H, W, wh, ww, sh, sw) if shifted else None
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(B, H, W, C)
+        if shifted:
+            x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        windows = window_partition(x, wh, ww)
+        attn_out = WindowAttention(
+            self.dim, (wh, ww), self.num_heads, self.qkv_bias,
+            self.attn_drop, self.drop, dtype=self.dtype, name="attn",
+        )(windows, mask, train)
+        x = window_reverse(attn_out, wh, ww, H, W)
+        if shifted:
+            x = jnp.roll(x, shift=(sh, sw), axis=(1, 2))
+        x = x.reshape(B, L, C)
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp")(y, train)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, train)
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch concat + LayerNorm + linear reduce
+    (reference: SwinModules.py:366-402)."""
+
+    input_resolution: Sequence[int]
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1
+        )
+        x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class BasicLayer(nn.Module):
+    """Stage: depth blocks with alternating shift + optional merging
+    (reference: SwinModules.py:414-504)."""
+
+    dim: int
+    input_resolution: Sequence[int]
+    depth: int
+    num_heads: int
+    window_size: Sequence[int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = (0.0,)
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(self.depth):
+            shift = (
+                [0, 0]
+                if i % 2 == 0
+                else [self.window_size[0] // 2, self.window_size[1] // 2]
+            )
+            dp = self.drop_path[i] if i < len(self.drop_path) else self.drop_path[-1]
+            x = SwinBlock(
+                dim=self.dim,
+                input_resolution=self.input_resolution,
+                num_heads=self.num_heads,
+                window_size=list(self.window_size),
+                shift_size=shift,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=dp,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train)
+        if self.downsample:
+            x = PatchMerging(self.input_resolution, self.dim, dtype=self.dtype, name="downsample")(x)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchify + optional LayerNorm (reference: SwinModules.py:518-558).
+    Named 'patch_embed*' so the pretrain freeze rule finds it
+    (reference: weight_utils.py:85-94)."""
+
+    patch_size: Sequence[int]
+    embed_dim: int
+    norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, C] NHWC
+        ph, pw = self.patch_size
+        x = nn.Conv(
+            self.embed_dim, kernel_size=(ph, pw), strides=(ph, pw), padding="VALID",
+            dtype=self.dtype, name="proj",
+        )(x)
+        B, Hp, Wp, C = x.shape
+        x = x.reshape(B, Hp * Wp, C)
+        if self.norm:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        return x

@@ -2,10 +2,17 @@
 checkpoint and report loss / accuracy / macro-F1 / confusion on the test split."""
 
 import logging
+import os
 import warnings
 
 warnings.simplefilter("ignore", UserWarning)
 logging.getLogger("absl").setLevel(logging.WARNING)
+
+if os.environ.get("FOCAL_PLATFORM"):
+    # explicit platform override (site config may force JAX_PLATFORMS)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["FOCAL_PLATFORM"])
 
 import optax
 

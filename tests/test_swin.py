@@ -1,0 +1,161 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focal_tpu.models.swin import (
+    relative_position_index,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+from focal_tpu.models.sw_transformer import SWTransformer, get_padded_size
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 12, 24, 8)).astype(np.float32))
+    w = window_partition(x, 3, 3)
+    assert w.shape == (2 * 4 * 8, 9, 8)
+    back = window_reverse(w, 3, 3, 12, 24)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_properties():
+    idx = relative_position_index(3, 3)
+    assert idx.shape == (9, 9)
+    # indices live in the bias table range (2*3-1)^2 = 25
+    assert idx.min() >= 0 and idx.max() < 25
+    # symmetric displacement pairs map consistently: idx[i,j] for same
+    # relative offset is equal
+    assert idx[0, 1] == idx[1, 2] == idx[3, 4]
+    # zero offset on the diagonal
+    assert len(set(np.diagonal(idx).tolist())) == 1
+
+
+def test_shifted_window_mask_matches_reference_construction():
+    """The mask must block attention between tokens from different pre-shift
+    regions; same-region pairs stay 0, cross-region pairs get -100
+    (reference: SwinModules.py:262-291)."""
+    m = shifted_window_mask(12, 12, 3, 3, 1, 1)
+    assert m.shape == (16, 9, 9)
+    assert set(np.unique(m).tolist()) <= {0.0, -100.0}
+    # interior windows (not at the wrap boundary) are unmasked
+    assert (m[0] == 0).all()
+    # at least one boundary window must mask something
+    assert (m < 0).any()
+
+
+def test_padded_size_reference_values():
+    # MOD audio: (10, 1600), window (3,3), patch (1,40), 3 stages -> (12, 1920)
+    assert get_padded_size((10, 1600), (3, 3), (1, 40), 3) == (12, 1920)
+    # MOD seismic: (10, 20), patch (1,1) -> (12, 24)
+    assert get_padded_size((10, 20), (3, 3), (1, 1), 3) == (12, 24)
+    # already divisible stays put
+    assert get_padded_size((12, 24), (3, 3), (1, 1), 3) == (12, 24)
+
+
+@pytest.fixture(scope="module")
+def tiny_swin(mod_tiny_config):
+    model = SWTransformer(
+        dataset_config=mod_tiny_config, task="vehicle_classification", linear_class_head=True
+    )
+    freq_x = {
+        "shake": {
+            "audio": jnp.zeros((4, 2, 10, 96)),
+            "seismic": jnp.zeros((4, 2, 10, 20)),
+        }
+    }
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, freq_x, train=False, head="both"
+    )
+    return model, variables, freq_x
+
+
+@pytest.fixture(scope="module")
+def mod_tiny_config():
+    from focal_tpu.params.yaml_utils import load_dataset_config
+
+    return load_dataset_config("MOD_TINY")
+
+
+def test_swin_heads(tiny_swin):
+    model, variables, freq_x = tiny_swin
+    logits = model.apply(variables, freq_x, train=False, head="class")
+    assert logits.shape == (4, 7)
+    proj = model.apply(variables, freq_x, train=False, head="proj")
+    assert proj["audio"].shape == (4, 32)
+    feat = model.apply(variables, freq_x, train=False, head="feat")
+    assert feat["seismic"].shape == (4, 32)
+
+
+def test_swin_train_mode_stochastic(tiny_swin):
+    """dropout/drop-path give different outputs across rng keys in train mode."""
+    model, variables, freq_x = tiny_swin
+    x = {
+        "shake": {
+            "audio": jnp.asarray(np.random.default_rng(0).normal(size=(4, 2, 10, 96)), jnp.float32),
+            "seismic": jnp.asarray(np.random.default_rng(1).normal(size=(4, 2, 10, 20)), jnp.float32),
+        }
+    }
+    o1 = model.apply(variables, x, train=True, head="class", rngs={"dropout": jax.random.key(1)})
+    o2 = model.apply(variables, x, train=True, head="class", rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    # eval mode is deterministic
+    e1 = model.apply(variables, x, train=False, head="class")
+    e2 = model.apply(variables, x, train=False, head="class")
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_swin_freeze_names(tiny_swin):
+    """patch_embed params exist under names the pretrain freeze rule matches;
+    mod_fusion_layer under the finetune trainability rule."""
+    _, variables, _ = tiny_swin
+    names = []
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            p = f"{prefix}/{k}"
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                names.append(p)
+
+    walk(variables["params"])
+    assert any("patch_embed" in n for n in names)
+    assert any("mod_fusion_layer" in n for n in names)
+    assert any("class_layer" in n for n in names)
+
+
+def test_swin_jitted_train_call(tiny_swin):
+    """Regression: the shifted-window mask must stay a compile-time constant
+    (a jnp-built mask turns into a tracer under jit and crashes)."""
+    model, variables, freq_x = tiny_swin
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, train=True, head="class", rngs={"dropout": jax.random.key(0)})
+
+    out = fwd(variables, freq_x)
+    assert out.shape == (4, 7)
+
+
+def test_swin_grad_flow(tiny_swin):
+    model, variables, freq_x = tiny_swin
+    x = {
+        "shake": {
+            "audio": jnp.asarray(np.random.default_rng(2).normal(size=(4, 2, 10, 96)), jnp.float32),
+            "seismic": jnp.asarray(np.random.default_rng(3).normal(size=(4, 2, 10, 20)), jnp.float32),
+        }
+    }
+
+    def loss(params):
+        logits = model.apply({"params": params}, x, train=False, head="class")
+        return jnp.mean(logits**2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every stage receives gradient (no dead branches)
+    total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves)
+    assert total > 0

@@ -7,10 +7,17 @@ Examples:
 """
 
 import logging
+import os
 import warnings
 
 warnings.simplefilter("ignore", UserWarning)
 logging.getLogger("absl").setLevel(logging.WARNING)
+
+if os.environ.get("FOCAL_PLATFORM"):
+    # explicit platform override (site config may force JAX_PLATFORMS)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["FOCAL_PLATFORM"])
 
 from focal_tpu.params import parse_train_params
 from focal_tpu.train.loops import finetune, pretrain, supervised_train
