@@ -1,0 +1,123 @@
+import os
+
+import numpy as np
+import pytest
+
+from focal_tpu.data.dataset import ArrayDataset
+from focal_tpu.data.preprocess.mod import (
+    FREQS,
+    extract_samples_from_signals,
+    process_shake,
+)
+from focal_tpu.data.preprocess.partition import partition_samples
+from focal_tpu.data.preprocess.signal import extract_time_freq, resample, split_with_overlap
+
+
+def test_resample_halves_rate_preserves_tone():
+    """A pure 100 Hz tone must survive 16k -> 8k polyphase resampling."""
+    t = np.arange(16000 * 2) / 16000.0
+    x = np.sin(2 * np.pi * 100 * t)[:, None]
+    y = resample(x, 16000, 8000)
+    assert abs(len(y) - 16000) <= 1
+    t2 = np.arange(len(y)) / 8000.0
+    want = np.sin(2 * np.pi * 100 * t2)
+    # ignore filter edge transients
+    err = np.abs(y[500:-500, 0] - want[500:-500]).max()
+    assert err < 1e-3
+
+
+def test_split_with_overlap():
+    x = np.arange(100)[:, None]
+    w = split_with_overlap(x, 0.0, interval_len=20)
+    assert w.shape == (5, 20, 1)
+    w2 = split_with_overlap(x, 0.5, interval_len=20)
+    assert w2.shape == (9, 20, 1)
+    assert (w2[1][:, 0] == np.arange(10, 30)).all()
+
+
+def test_extract_time_freq_layout():
+    """Freq layout must equal the on-device FFT layout (interleaved re/im)."""
+    rng = np.random.default_rng(0)
+    seg = rng.normal(size=(2 * 100, 3)).astype(np.float32)  # 2 s at 100 Hz, 3 ch
+    time, freq = extract_time_freq(seg, 0.2, 100)
+    assert time.shape == (3, 10, 20)
+    assert freq.shape == (6, 10, 20)
+    spec0 = np.fft.fft(time[0], axis=-1)
+    np.testing.assert_allclose(freq[0], spec0.real, atol=1e-4)
+    np.testing.assert_allclose(freq[1], spec0.imag, atol=1e-4)
+
+
+def test_extract_samples_shapes():
+    rng = np.random.default_rng(1)
+    signals = {
+        "audio": rng.normal(size=(int(FREQS["audio"] * 5), 1)).astype(np.float32),
+        "seismic": rng.normal(size=(int(FREQS["seismic"] * 5), 1)).astype(np.float32),
+    }
+    samples = extract_samples_from_signals(signals)
+    assert len(samples) == 2  # 5 s -> two complete 2 s segments
+    s = samples[0]
+    assert s["data"]["shake"]["audio"].shape == (1, 10, 1600)
+    assert s["data"]["shake"]["seismic"].shape == (1, 10, 20)
+    assert s["freq_data"]["shake"]["audio"].shape == (2, 10, 1600)
+
+
+def _write_raw_recording(root, run, shake, seconds=5):
+    rng = np.random.default_rng(hash((run, shake)) % 2**32)
+    d = os.path.join(root, run, shake)
+    os.makedirs(d)
+    np.savetxt(os.path.join(d, "aud16000.csv"), rng.normal(size=16000 * seconds), delimiter=",")
+    np.savetxt(os.path.join(d, "ehz.csv"), rng.normal(size=100 * seconds), delimiter=",")
+
+
+def test_process_shake_end_to_end(tmp_path):
+    raw = tmp_path / "raw"
+    out = tmp_path / "samples"
+    _write_raw_recording(str(raw), "Polaris0150pm", "rs1")
+    paths = process_shake("Polaris0150pm", "rs1", str(raw), str(out))
+    assert len(paths) == 2
+    # loadable through the dataset layer, with the task-keyed label
+    idx = tmp_path / "index.txt"
+    idx.write_text("\n".join(paths) + "\n")
+    ds = ArrayDataset.from_index_file(str(idx), "vehicle_classification", seq_len=2)
+    assert len(ds) == 2
+    assert (ds.labels == 0).all()  # Polaris -> 0
+    assert ds.data["shake"]["audio"].shape == (2, 1, 10, 1600)
+    assert ds.subseq_idx.shape == (1, 2)
+
+
+def test_speed_distance_labels(tmp_path):
+    raw = tmp_path / "raw"
+    out = tmp_path / "samples"
+    _write_raw_recording(str(raw), "tesla_10mph_distance2", "rs1")
+    paths = process_shake("tesla_10mph_distance2", "rs1", str(raw), str(out))
+    ds_speed = _index_and_load(tmp_path, paths, "speed_classification")
+    assert (ds_speed.labels == 1).all()  # 10mph -> 1
+    ds_dist = _index_and_load(tmp_path, paths, "distance_classification")
+    assert (ds_dist.labels == 1).all()  # distance2 -> 1
+    ds_vehicle = _index_and_load(tmp_path, paths, "vehicle_classification")
+    assert (ds_vehicle.labels == 4).all()  # tesla -> 4
+
+
+def _index_and_load(tmp_path, paths, task):
+    idx = tmp_path / f"{task}_index.txt"
+    idx.write_text("\n".join(paths) + "\n")
+    return ArrayDataset.from_index_file(str(idx), task)
+
+
+def test_partition(tmp_path):
+    d = tmp_path / "samples"
+    os.makedirs(d)
+    for i in range(10):
+        np.savez(d / f"run_{i}.npz", label=np.int32(0))
+    extra = tmp_path / "extra"
+    os.makedirs(extra)
+    for i in range(4):
+        np.savez(extra / f"x_{i}.npz", label=np.int32(0))
+    idx = partition_samples(str(d), str(tmp_path / "out"), extra_dir=str(extra))
+    train = open(idx["train"]).read().split()
+    val = open(idx["val"]).read().split()
+    test = open(idx["test"]).read().split()
+    pre = open(idx["pretrain"]).read().split()
+    assert len(train) == 8 and val == test and len(val) == 2
+    assert len(pre) == 12  # 4 extra + 8 train
+    assert set(train).isdisjoint(val)
