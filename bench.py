@@ -1,0 +1,212 @@
+"""Benchmark: FOCAL pretrain throughput (windows/sec/chip) on MOD shapes.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "windows/s/chip", "vs_baseline": N}
+
+The measured workload is the full jitted pretrain step on the flagship
+DeepSense backbone at the reference batch size (256 two-second windows per
+step: two random-augmented views -> FFT -> backbone -> 4-term FOCAL loss ->
+AdamW update), on synthetic MOD-shaped data resident in device memory.
+
+vs_baseline compares against an equivalent PyTorch implementation of the same
+step measured on this host's CPU (the reference is torch; no GPU exists
+here). The torch number is cached in .bench_baseline.json so repeat runs are
+cheap. If torch is unavailable the ratio falls back to 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def bench_jax():
+    if os.environ.get("FOCAL_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["FOCAL_PLATFORM"])
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _make_args
+    from focal_tpu.data.synthetic import make_synthetic_dataset
+    from focal_tpu.models import build_backbone
+    from focal_tpu.ops import build_augmenter
+    from focal_tpu.parallel.mesh import make_mesh_plan, put_replicated
+    from focal_tpu.train.losses import make_focal_loss
+    from focal_tpu.train.optim import build_optimizer
+    from focal_tpu.train.state import init_state
+    from focal_tpu.train.steps import make_pretrain_step
+
+    n_chips = len(jax.devices())
+    mesh_plan = make_mesh_plan(0)
+
+    args = _make_args(
+        [
+            "-dataset", "MOD", "-model", os.environ.get("BENCH_MODEL", "DeepSense"),
+            "-learn_framework", "FOCAL", "-stage", "pretrain", "-synthetic",
+            "-compute_dtype", os.environ.get("BENCH_DTYPE", "bfloat16"),
+        ]
+    )
+    seq_len = args.dataset_config["seq_len"]
+    model = build_backbone(args)
+    augmenter = build_augmenter(args)
+    ds = make_synthetic_dataset(args.dataset_config, args.task, max(BATCH, 512), seed=0, seq_len=seq_len)
+    data = put_replicated(
+        {loc: {m: jnp.asarray(a) for m, a in mods.items()} for loc, mods in ds.data.items()},
+        mesh_plan,
+    )
+    sample = augmenter.no(
+        {loc: {m: jnp.asarray(a[:2]) for m, a in mods.items()} for loc, mods in ds.data.items()}
+    )
+    state = init_state(args, model, sample, optax.identity(), jax.random.key(0))
+    tx, _ = build_optimizer(args, state.params, steps_per_epoch=100)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    state = put_replicated(state, mesh_plan)
+
+    focal_loss = make_focal_loss(args)
+    step = make_pretrain_step(model, augmenter, focal_loss, mesh_plan)
+
+    idx_host = (jnp.arange(BATCH, dtype=jnp.int32) % len(ds))
+    if mesh_plan is not None:
+        idx_host = jax.device_put(idx_host, mesh_plan.batch_sharded)
+    rng = jax.random.key(1)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step(state, data, idx_host, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, data, idx_host, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    windows_per_sec = BATCH * STEPS / dt
+    return windows_per_sec / n_chips, n_chips, float(jax.device_get(metrics["loss"]))
+
+
+def bench_torch_baseline():
+    """Equivalent pretrain step in PyTorch (CPU) for the vs_baseline ratio."""
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                return json.load(f)["torch_windows_per_sec"]
+        except Exception:
+            pass
+    try:
+        value = _measure_torch()
+    except Exception as e:
+        print(f"torch baseline unavailable: {e}", file=sys.stderr)
+        return None
+    with open(CACHE, "w") as f:
+        json.dump({"torch_windows_per_sec": value}, f)
+    return value
+
+
+def _measure_torch(steps=3, batch=None):
+    import torch
+    import torch.nn as nn
+
+    batch = batch or BATCH
+    torch.manual_seed(0)
+
+    class TorchDeepSenseEncoder(nn.Module):
+        """Same topology/dims as the MOD DeepSense recipe."""
+
+        def __init__(self, in_c, spectrum, stride, k_in, k_mid, out_c=128, inter=4, rec=256):
+            super().__init__()
+            pad_mid = (0, k_mid // 2)
+            pad_in = (0, 0) if stride > 1 else (0, k_in // 2)
+            self.conv_in = nn.Sequential(
+                nn.Conv2d(in_c, out_c // 2, (1, k_in), stride=(1, stride), padding=pad_in),
+                nn.BatchNorm2d(out_c // 2), nn.GELU(), nn.Dropout2d(0.2),
+            )
+            self.inter = nn.ModuleList(
+                nn.Sequential(
+                    nn.Conv2d(out_c // 2, out_c // 2, (1, k_mid), padding=pad_mid),
+                    nn.BatchNorm2d(out_c // 2), nn.GELU(), nn.Dropout2d(0.2),
+                )
+                for _ in range(inter)
+            )
+            flat = out_c // 2 * (spectrum // stride if stride > 1 else spectrum)
+            self.out = nn.Conv1d(flat, out_c, 1)
+            self.gru = nn.GRU(out_c, rec, 2, batch_first=True, bidirectional=True, dropout=0.2)
+            self.proj = nn.Sequential(nn.Linear(2 * rec, 256), nn.ReLU(), nn.Linear(256, 256))
+
+        def forward(self, x):
+            x = self.conv_in(x)
+            for layer in self.inter:
+                x = x + layer(x)
+            b, c, i, s = x.shape
+            x = x.permute(0, 1, 3, 2).reshape(b, c * s, i)
+            x = self.out(x).permute(0, 2, 1)
+            x, _ = self.gru(x)
+            return self.proj(x.mean(1))
+
+    audio = TorchDeepSenseEncoder(2, 1600, 80, 80, 5)
+    seismic = TorchDeepSenseEncoder(2, 20, 1, 3, 3)
+    params = list(audio.parameters()) + list(seismic.parameters())
+    opt = torch.optim.AdamW(params, lr=1e-3, weight_decay=0.05)
+
+    xa = torch.randn(batch, 1, 10, 1600)
+    xs = torch.randn(batch, 1, 10, 20)
+
+    def fft2ch(x):
+        f = torch.fft.fft(x, dim=-1)
+        v = torch.view_as_real(f).permute(0, 1, 4, 2, 3)
+        b, c1, c2, i, s = v.shape
+        return v.reshape(b, c1 * c2, i, s)
+
+    def contrastive(f1, f2, temp=0.5):
+        z = torch.cat([f1, f2], 0)
+        z = nn.functional.normalize(z, dim=-1)
+        sim = z @ z.T / temp
+        n = f1.shape[0]
+        labels = torch.cat([torch.arange(n, 2 * n), torch.arange(0, n)])
+        sim.fill_diagonal_(-1e9)
+        return nn.functional.cross_entropy(sim, labels)
+
+    def one_step():
+        opt.zero_grad()
+        loss = 0.0
+        for enc, x in ((audio, xa), (seismic, xs)):
+            v1 = fft2ch(x * (1 + 0.2 * torch.randn(1)))
+            v2 = fft2ch(-x if torch.rand(1) < 0.5 else x)
+            f1, f2 = enc(v1), enc(v2)
+            loss = loss + contrastive(f1, f2)
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    value, n_chips, loss = bench_jax()
+    baseline = bench_torch_baseline()
+    vs = value / baseline if baseline else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "focal_pretrain_deepsense_mod_throughput",
+                "value": round(value, 2),
+                "unit": "windows/s/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,19 @@ def build_parser():
         "-val_epochs", type=int, default=None, help="Validate every N epochs (default: stage-specific)."
     )
     parser.add_argument("-output_dir", type=str, default=None, help="Root for weights/ and result/ trees.")
+    parser.add_argument(
+        "-resume",
+        action="store_true",
+        help="Resume from this stage's newest full-state checkpoint (params, "
+        "optimizer state, step, epoch). Requires -model_weight or a prior "
+        "matching experiment folder.",
+    )
+    parser.add_argument(
+        "-profile_dir",
+        type=str,
+        default=None,
+        help="Capture a jax.profiler trace of a few training steps into this directory.",
+    )
     return parser
 
 

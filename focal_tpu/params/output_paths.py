@@ -67,8 +67,8 @@ def set_model_weight_folder(args):
 
     newest_id, newest_weight, suffix = find_most_recent_weight(args, return_suffix=True)
 
-    if args.option == "test" or args.stage == "finetune":
-        # reuse an existing folder (explicit or most recent)
+    if args.option == "test" or args.stage == "finetune" or getattr(args, "resume", False):
+        # reuse an existing folder (explicit, or the most recent match)
         if args.model_weight is not None:
             weight_folder = args.model_weight
         elif newest_weight is not None:

@@ -47,6 +47,32 @@ def restore(path):
     return ckptr.restore(os.path.abspath(path))
 
 
+def restore_state(path, state, extra_template=None):
+    """Restore a full TrainState saved by save_state, preserving the live
+    state's pytree structure (opt_state namedtuples etc.).
+
+    Returns (state, extra). The reference has no mid-run resume at all
+    (SURVEY §5: optimizer state and epoch are never saved); this is a
+    framework addition."""
+    target = {
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+        "step": np.asarray(state.step),
+    }
+    if extra_template is not None:
+        target["extra"] = extra_template
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), target)
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=int(restored["step"]),
+    )
+    return new_state, restored.get("extra")
+
+
 def load_params_into(state, path, load_class_layer=True):
     """Partial-load checkpoint params into a TrainState, optionally excluding
     the classifier head (reference: weight_utils.py:9-25)."""

@@ -131,17 +131,34 @@ def _classifier_loop(args, run, train_epochs, make_step, tx_builder, stage_name)
     eval_step = make_eval_step(run.model, run.augmenter, "class", run.mesh_plan)
 
     best_path, latest_path = checkpoint_paths(args)
+    resume_path = latest_path.replace("_latest", "_resume")
     val_epochs = args.val_epochs or 5
     best_val_acc = -1.0
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        state, extra = ckpt.restore_state(
+            resume_path, state, extra_template={"epoch": np.asarray(0), "best": np.asarray(0.0)}
+        )
+        start_epoch = int(extra["epoch"]) + 1
+        best_val_acc = float(extra["best"])
+        logging.info(f"= Resumed from {resume_path} at epoch {start_epoch}, best {best_val_acc:.5f}")
     step_rng = jax.random.key(args.seed + 1)
     data, labels = run.device_data["train"], run.device_labels["train"]
 
     start = time.time()
-    for epoch in range(train_epochs):
+    block_t0, block_windows = time.time(), 0
+    for epoch in range(start_epoch, train_epochs):
+        if args.profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(args.profile_dir)
         losses = []
         for plan in run.train_loader:
             state, metrics = train_step(state, data, labels, jnp.asarray(plan.idx), step_rng)
             losses.append(metrics["loss"])
+            block_windows += len(plan.idx)
+        if args.profile_dir and epoch == start_epoch + 1:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            logging.info(f"= Profiler trace written to {args.profile_dir}")
         if epoch % val_epochs == 0 or epoch == train_epochs - 1:
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             val_loss, val_metrics = ev.eval_supervised(
@@ -150,9 +167,17 @@ def _classifier_loop(args, run, train_epochs, make_step, tx_builder, stage_name)
             test_loss, test_metrics = ev.eval_supervised(
                 args, state, eval_step, run.test_loader, run.device_data["test"], run.device_labels["test"]
             )
-            logging.info(f"[{stage_name}] epoch {epoch}: train loss {train_loss:.5f}")
+            dt = time.time() - block_t0
+            logging.info(
+                f"[{stage_name}] epoch {epoch}: train loss {train_loss:.5f} "
+                f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
+            )
+            block_t0, block_windows = time.time(), 0
             ev.log_val_test(stage_name, epoch, val_loss, val_metrics, test_loss, test_metrics)
             ckpt.save_state(latest_path, state)
+            ckpt.save_state(
+                resume_path, state, extra={"epoch": np.asarray(epoch), "best": np.asarray(best_val_acc)}
+            )
             if val_metrics[0] > best_val_acc:
                 best_val_acc = val_metrics[0]
                 ckpt.save_state(best_path, state)
@@ -185,18 +210,35 @@ def pretrain(args):
     feat_step = make_eval_step(run.model, run.augmenter, "feat", run.mesh_plan)
 
     best_path, latest_path = checkpoint_paths(args)
+    resume_path = latest_path.replace("_latest", "_resume")
     val_epochs = args.val_epochs or 10
     best_val_loss = np.inf
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        state, extra = ckpt.restore_state(
+            resume_path, state, extra_template={"epoch": np.asarray(0), "best": np.asarray(0.0)}
+        )
+        start_epoch = int(extra["epoch"]) + 1
+        best_val_loss = float(extra["best"])
+        logging.info(f"= Resumed from {resume_path} at epoch {start_epoch}, best {best_val_loss:.5f}")
     step_rng = jax.random.key(args.seed + 1)
     eval_rng = jax.random.key(args.seed + 2)
     data = run.device_data["train"]
 
     start = time.time()
-    for epoch in range(train_epochs):
+    block_t0, block_windows = time.time(), 0
+    for epoch in range(start_epoch, train_epochs):
+        if args.profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(args.profile_dir)
         losses = []
         for plan in run.train_loader:
             state, metrics = train_step(state, data, jnp.asarray(plan.idx), step_rng)
             losses.append(metrics["loss"])
+            block_windows += len(plan.idx)
+        if args.profile_dir and epoch == start_epoch + 1:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            logging.info(f"= Profiler trace written to {args.profile_dir}")
         if epoch % val_epochs == 0 or epoch == train_epochs - 1:
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             estimator = ev.compute_knn(state, feat_step, run.train_loader, data)
@@ -208,10 +250,18 @@ def pretrain(args):
                 args, state, feat_step, loss_step, estimator,
                 run.test_loader, run.device_data["test"], jax.random.fold_in(eval_rng, epoch + 1),
             )
-            logging.info(f"[pretrain] epoch {epoch}: train loss {train_loss:.5f}")
+            dt = time.time() - block_t0
+            logging.info(
+                f"[pretrain] epoch {epoch}: train loss {train_loss:.5f} "
+                f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
+            )
+            block_t0, block_windows = time.time(), 0
             ev.log_val_test("pretrain", epoch, val_loss, val_metrics, test_loss, test_metrics)
             # backbone-only saves (reference: pretrain.py:94-100)
             ckpt.save_params(latest_path, state.params, state.batch_stats)
+            ckpt.save_state(
+                resume_path, state, extra={"epoch": np.asarray(epoch), "best": np.asarray(best_val_loss)}
+            )
             if val_loss < best_val_loss:
                 best_val_loss = val_loss
                 ckpt.save_params(best_path, state.params, state.batch_stats)
