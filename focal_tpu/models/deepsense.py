@@ -120,9 +120,9 @@ class DeepSense(nn.Module):
                 stacked = jnp.stack(per_loc, axis=2)  # [b, i, n_loc, c]
                 fused = self.loc_fusion[mod](stacked)  # [b, i, c]
                 # reference feeds the fused map back through a conv block with
-                # channel dim 1 (DeepSense.py:130-131)
-                fused = fused[..., None].transpose(0, 1, 2, 3)  # [b, i, c, 1]
-                feat = self.mod_extractors[mod](fused, train)
+                # a single input channel and spectrum = feature dim
+                # (DeepSense.py:130-131): NHWC [b, i, c, 1]
+                feat = self.mod_extractors[mod](fused[..., None], train)
             else:
                 feat = per_loc[0]  # [b, i, c]
             mod_features[mod] = self.recurrent_layers[mod](feat, train)

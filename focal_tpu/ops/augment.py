@@ -246,22 +246,31 @@ FREQ_AUGMENTERS = {
 
 
 def mixup_batch(key, loc_inputs, labels, cfg, num_classes):
-    """timm-style Mixup/CutMix in 'random_batch' mode
-    (reference: src/input_utils/mixup_utils.py:253-279).
+    """timm-style Mixup/CutMix, 'random_batch' (default) or 'batch' mode
+    (reference: src/input_utils/mixup_utils.py:231-279).
 
     One (lam, use_cutmix, rand_index) triple per batch shared by all
-    (loc, mod); cutmix draws an independent bbox per modality. Returns the
-    mixed inputs and soft one-hot labels.
+    (loc, mod); cutmix draws an independent bbox per modality. 'batch' mode
+    mixes against the flipped batch instead of a random permutation
+    (mixup_utils.py:231-251). The reference's 'elem'/'pair' modes crash on
+    dict inputs (SURVEY §2.2) and are not reproduced. Returns the mixed
+    inputs and soft one-hot labels.
     """
     k_apply, k_switch, k_lam_mix, k_lam_cut, k_perm, k_bbox = jax.random.split(key, 6)
     b = labels.shape[0]
+    mode = cfg.get("mode", "random_batch")
+    if mode not in ("random_batch", "batch"):
+        raise ValueError(f"Unsupported mixup mode: {mode} (reference 'elem'/'pair' crash on dicts)")
 
     apply_mix = _bernoulli(k_apply, cfg["prob"])
     use_cutmix = _bernoulli(k_switch, cfg["switch_prob"]) & (cfg.get("cutmix_alpha", 0) > 0)
     lam_mix = jax.random.beta(k_lam_mix, cfg["mixup_alpha"], cfg["mixup_alpha"])
     lam_cut = jax.random.beta(k_lam_cut, cfg["cutmix_alpha"], cfg["cutmix_alpha"]) if cfg.get("cutmix_alpha", 0) > 0 else lam_mix
     lam = jnp.where(apply_mix, jnp.where(use_cutmix, lam_cut, lam_mix), 1.0)
-    rand_index = jax.random.permutation(k_perm, b)
+    if mode == "batch":
+        rand_index = jnp.arange(b)[::-1]  # mix against the flipped batch
+    else:
+        rand_index = jax.random.permutation(k_perm, b)
 
     out = {}
     for li, (loc, mods) in enumerate(loc_inputs.items()):
