@@ -63,6 +63,44 @@ def _load_sample_file(path, task):
     return data, _label_for_task(sample["label"], task)
 
 
+def _bulk_load_native(sample_files, task):
+    """Parallel C++ bulk load of a homogeneous .npz split. Returns
+    ({loc: {mod: [N,...]}}, labels) or None to fall back to Python."""
+    if not all(f.endswith(".npz") for f in sample_files):
+        return None
+    try:
+        from focal_tpu import native
+    except Exception:
+        return None
+    if not native.available():
+        return None
+
+    # discover schema from the first sample
+    with np.load(sample_files[0]) as z:
+        data_keys = {k: z[k].shape for k in z.files if k.startswith("data.")}
+        label_keys = [k for k in z.files if k == "label" or k.startswith("label.")]
+    if not data_keys:
+        return None
+    label_key = "label"
+    if label_key not in label_keys:
+        wanted = TASK_LABEL_KEYS.get(task)
+        label_key = f"label.{wanted}" if wanted and f"label.{wanted}" in label_keys else None
+    if label_key is None:
+        return None
+
+    stacked = {}
+    for key, shape in data_keys.items():
+        arr = native.load_batch_f32(sample_files, key, shape)
+        if arr is None:
+            return None
+        _, loc, mod = key.split(".")
+        stacked.setdefault(loc, {})[mod] = arr
+    labels = native.load_scalar_i64(sample_files, label_key)
+    if labels is None:
+        return None
+    return stacked, labels.astype(np.int32)
+
+
 class ArrayDataset:
     """A fully materialised split: stacked arrays + sequence structure."""
 
@@ -105,6 +143,13 @@ class ArrayDataset:
         sample_files = [str(s) for s in np.loadtxt(index_file, dtype=str, ndmin=1)]
         if not sample_files:
             raise ValueError(f"Empty index file: {index_file}")
+        names = [os.path.basename(f) for f in sample_files]
+
+        result = _bulk_load_native(sample_files, task)
+        if result is not None:
+            stacked, labels = result
+            return cls(stacked, labels, names, seq_len, seq_delimiter)
+
         datas, labels = [], []
         for f in sample_files:
             d, l = _load_sample_file(f, task)
@@ -118,7 +163,6 @@ class ArrayDataset:
             }
             for loc in locs
         }
-        names = [os.path.basename(f) for f in sample_files]
         return cls(stacked, np.asarray(labels, np.int32), names, seq_len, seq_delimiter)
 
 
