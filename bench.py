@@ -29,6 +29,9 @@ def bench_jax():
         import jax
 
         jax.config.update("jax_platforms", os.environ["FOCAL_PLATFORM"])
+    from focal_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import optax

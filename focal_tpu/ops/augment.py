@@ -415,9 +415,11 @@ class Augmenter:
             return x, soft_labels
         return x, labels
 
-    def random(self, key, time_loc_inputs):
+    def random(self, key, time_loc_inputs, return_aug_id=False):
         """One random augmenter from the combined pool, in its domain
-        (reference: Augmenter.py:76-113), selected on device via lax.switch."""
+        (reference: Augmenter.py:76-113), selected on device via lax.switch.
+        With return_aug_id, also returns the per-sample augmenter-id labels
+        (reference: Augmenter.py:103-106) for aug-prediction pretext tasks."""
         k_sel, k_aug = jax.random.split(key)
         n_time = len(self.time_aug_names)
         n_freq = len(self.freq_aug_names)
@@ -436,7 +438,12 @@ class Augmenter:
             partial(self._apply_one, name, "freq") for name in self.freq_aug_names
         ] + [lambda key, x: x]
         freq_idx = jnp.where(aug_id >= n_time, aug_id - n_time, n_freq)
-        return jax.lax.switch(freq_idx, freq_branches, k_aug, x)
+        out = jax.lax.switch(freq_idx, freq_branches, k_aug, x)
+        if return_aug_id:
+            loc0 = self.locations[0]
+            b = time_loc_inputs[loc0][next(iter(time_loc_inputs[loc0]))].shape[0]
+            return out, jnp.full((b,), aug_id, jnp.int32)
+        return out
 
     def no(self, time_loc_inputs):
         """FFT only (reference: Augmenter.py:115-126)."""

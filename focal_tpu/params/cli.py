@@ -93,6 +93,13 @@ def build_parser():
         "matching experiment folder.",
     )
     parser.add_argument(
+        "-knn_backend",
+        type=str,
+        default="sklearn",
+        choices=["sklearn", "jnp"],
+        help="KNN probe backend for pretrain validation (jnp = on-device top-k).",
+    )
+    parser.add_argument(
         "-profile_dir",
         type=str,
         default=None,

@@ -7,8 +7,8 @@ import logging
 import jax
 import numpy as np
 from sklearn.metrics import accuracy_score, confusion_matrix, f1_score
-from sklearn.neighbors import KNeighborsClassifier
 
+from focal_tpu.ops.knn import make_knn
 from focal_tpu.train.losses import cross_entropy
 
 
@@ -65,10 +65,11 @@ def extract_features(state, eval_step, loader, data):
     return np.concatenate(feats), np.concatenate(labs)
 
 
-def compute_knn(state, feat_step, train_loader, train_data):
-    """Fit the sklearn KNN probe on train features (reference: knn.py:22-42)."""
+def compute_knn(state, feat_step, train_loader, train_data, backend="sklearn"):
+    """Fit the KNN probe on train features (reference: knn.py:22-42).
+    backend 'jnp' runs neighbour search on device."""
     feats, labs = extract_features(state, feat_step, train_loader, train_data)
-    estimator = KNeighborsClassifier()
+    estimator = make_knn(backend)
     estimator.fit(feats, labs)
     return estimator
 

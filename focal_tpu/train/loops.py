@@ -241,7 +241,9 @@ def pretrain(args):
             logging.info(f"= Profiler trace written to {args.profile_dir}")
         if epoch % val_epochs == 0 or epoch == train_epochs - 1:
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
-            estimator = ev.compute_knn(state, feat_step, run.train_loader, data)
+            estimator = ev.compute_knn(
+                state, feat_step, run.train_loader, data, backend=getattr(args, "knn_backend", "sklearn")
+            )
             val_loss, val_metrics = ev.eval_pretrained(
                 args, state, feat_step, loss_step, estimator,
                 run.val_loader, run.device_data["val"], jax.random.fold_in(eval_rng, epoch),

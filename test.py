@@ -14,6 +14,10 @@ if os.environ.get("FOCAL_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["FOCAL_PLATFORM"])
 
+from focal_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import optax
 
 from focal_tpu.data.loader import create_dataloader

@@ -1,0 +1,112 @@
+"""Cross-recipe shape coverage, jnp KNN parity, bf16 path, aug-id API."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focal_tpu.ops.knn import JaxKNN, make_knn
+from focal_tpu.params.yaml_utils import load_dataset_config
+
+
+def test_jnp_knn_matches_sklearn():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(120, 16)).astype(np.float32)
+    y = rng.integers(0, 5, size=120)
+    q = rng.normal(size=(30, 16)).astype(np.float32)
+    sk = make_knn("sklearn").fit(x, y)
+    jx = make_knn("jnp").fit(x, y)
+    assert isinstance(jx, JaxKNN)
+    agree = (sk.predict(q) == jx.predict(q)).mean()
+    # identical except distance ties broken differently
+    assert agree > 0.9
+
+
+def test_random_pipeline_aug_id(make_args):
+    from focal_tpu.ops import build_augmenter
+
+    args = make_args(
+        argv=["-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL", "-stage", "pretrain"]
+    )
+    aug = build_augmenter(args)
+    rng = np.random.default_rng(0)
+    x = {
+        "shake": {
+            "seismic": jnp.asarray(rng.normal(size=(6, 1, 10, 20)).astype(np.float32)),
+            "audio": jnp.asarray(rng.normal(size=(6, 1, 10, 96)).astype(np.float32)),
+        }
+    }
+    out, aug_ids = jax.jit(lambda k, x: aug.random(k, x, return_aug_id=True))(jax.random.key(0), x)
+    assert aug_ids.shape == (6,)
+    n_pool = len(aug.time_aug_names) + len(aug.freq_aug_names)
+    assert 0 <= int(aug_ids[0]) < n_pool
+    assert len(set(np.asarray(aug_ids).tolist())) == 1  # one augmenter per batch
+
+
+@pytest.mark.parametrize("dataset", ["MOD", "ACIDS", "RealWorld_HAR", "PAMAP2"])
+def test_all_recipes_forward_deepsense(dataset):
+    """Every shipped recipe must build and forward DeepSense (shrunk dims to
+    keep CPU compile fast; the geometry/shape logic is what's under test)."""
+    from focal_tpu.models.deepsense import DeepSense
+
+    cfg = copy.deepcopy(load_dataset_config(dataset))
+    cfg["DeepSense"]["loc_mod_out_channels"] = 16
+    cfg["DeepSense"]["loc_mod_conv_inter_layers"] = 1
+    cfg["DeepSense"]["recurrent_dim"] = 16
+    cfg["DeepSense"]["recurrent_layers"] = 1
+    cfg["FOCAL"]["emb_dim"] = 16
+    task = cfg.get("default_task") or (
+        "vehicle_classification" if "vehicle_classification" in cfg else "activity_classification"
+    )
+    model = DeepSense(dataset_config=cfg, task=task, linear_class_head=True)
+
+    rng = np.random.default_rng(0)
+    x = {}
+    for loc in cfg["location_names"]:
+        x[loc] = {}
+        for mod in cfg["loc_modalities"][loc]:
+            if mod not in cfg["loc_mod_spectrum_len"][loc]:
+                continue
+            c = cfg["loc_mod_in_freq_channels"][loc][mod]
+            s = cfg["loc_mod_spectrum_len"][loc][mod]
+            x[loc][mod] = jnp.asarray(rng.normal(size=(2, c, cfg["num_segments"], s)).astype(np.float32))
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False, head="both")
+    logits, proj = model.apply(v, x, train=False, head="both")
+    assert logits.shape == (2, cfg[task]["num_classes"])
+    assert all(p.shape == (2, 16) for p in proj.values())
+
+
+def test_bf16_compute_path(make_args):
+    """bf16 supervised step: runs, finite loss, params stay float32."""
+    from focal_tpu.models import build_backbone
+    from focal_tpu.ops import build_augmenter
+    from focal_tpu.train.steps import make_supervised_train_step
+    from focal_tpu.train.state import init_state
+    from focal_tpu.train.optim import build_optimizer
+    import optax
+
+    args = make_args(
+        argv=["-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "no",
+              "-compute_dtype", "bfloat16", "-batch_size", "16"]
+    )
+    model = build_backbone(args)
+    aug = build_augmenter(args)
+    rng = np.random.default_rng(0)
+    data = {
+        "shake": {
+            "seismic": jnp.asarray(rng.normal(size=(16, 1, 10, 20)).astype(np.float32)),
+            "audio": jnp.asarray(rng.normal(size=(16, 1, 10, 96)).astype(np.float32)),
+        }
+    }
+    labels = jnp.asarray(rng.integers(0, 7, 16), jnp.int32)
+    sample = aug.no(data)
+    state = init_state(args, model, sample, optax.identity(), jax.random.key(0))
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(state.params))
+    tx, _ = build_optimizer(args, state.params, steps_per_epoch=1, epochs_override=1)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    step = make_supervised_train_step(model, aug)
+    state, metrics = step(state, data, labels, jnp.arange(16, dtype=jnp.int32), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(state.params))

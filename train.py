@@ -19,6 +19,10 @@ if os.environ.get("FOCAL_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["FOCAL_PLATFORM"])
 
+from focal_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from focal_tpu.params import parse_train_params
 from focal_tpu.train.loops import finetune, pretrain, supervised_train
 
