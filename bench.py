@@ -46,8 +46,17 @@ def bench_jax():
     from focal_tpu.train.state import init_state
     from focal_tpu.train.steps import make_pretrain_step
 
+    t_phase = time.perf_counter()
+
+    def phase(name):
+        nonlocal t_phase
+        now = time.perf_counter()
+        print(f"[bench] {name}: {now - t_phase:.1f}s", file=sys.stderr)
+        t_phase = now
+
     n_chips = len(jax.devices())
     mesh_plan = make_mesh_plan(0)
+    phase("devices")
 
     args = _make_args(
         [
@@ -60,17 +69,21 @@ def bench_jax():
     model = build_backbone(args)
     augmenter = build_augmenter(args)
     ds = make_synthetic_dataset(args.dataset_config, args.task, max(BATCH, 512), seed=0, seq_len=seq_len)
+    phase("synthetic data")
     data = put_replicated(
         {loc: {m: jnp.asarray(a) for m, a in mods.items()} for loc, mods in ds.data.items()},
         mesh_plan,
     )
-    sample = augmenter.no(
+    sample = jax.jit(augmenter.no)(
         {loc: {m: jnp.asarray(a[:2]) for m, a in mods.items()} for loc, mods in ds.data.items()}
     )
+    phase("device put + sample fft")
     state = init_state(args, model, sample, optax.identity(), jax.random.key(0))
+    phase("model init")
     tx, _ = build_optimizer(args, state.params, steps_per_epoch=100)
-    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    state = state.replace(tx=tx, opt_state=jax.jit(tx.init)(state.params))
     state = put_replicated(state, mesh_plan)
+    phase("optimizer init")
 
     focal_loss = make_focal_loss(args)
     step = make_pretrain_step(model, augmenter, focal_loss, mesh_plan)
@@ -84,6 +97,7 @@ def bench_jax():
     for _ in range(3):
         state, metrics = step(state, data, idx_host, rng)
     jax.block_until_ready(metrics["loss"])
+    phase("step compile + warmup")
 
     t0 = time.perf_counter()
     for _ in range(STEPS):

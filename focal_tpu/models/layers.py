@@ -100,11 +100,17 @@ class BiGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        # GRU state math stays float32: tiny tensors, recurrent error compounds
+        # GRU state math stays float32: tiny tensors, recurrent error compounds.
+        # Fully unrolled: the interval axis is short and static (10 on MOD),
+        # and unrolling lets XLA pipeline the small per-step matmuls instead
+        # of serialising a scan.
         x = x.astype(jnp.float32)
+        unroll = x.shape[1]
         for layer in range(self.num_layers):
-            fwd = nn.RNN(nn.GRUCell(self.hidden), name=f"gru{layer}_fwd")
-            bwd = nn.RNN(nn.GRUCell(self.hidden), name=f"gru{layer}_bwd", reverse=True, keep_order=True)
+            fwd = nn.RNN(nn.GRUCell(self.hidden), name=f"gru{layer}_fwd", unroll=unroll)
+            bwd = nn.RNN(
+                nn.GRUCell(self.hidden), name=f"gru{layer}_bwd", reverse=True, keep_order=True, unroll=unroll
+            )
             x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
             if layer < self.num_layers - 1:
                 # torch GRU applies dropout between stacked layers only

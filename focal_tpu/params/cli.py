@@ -93,6 +93,12 @@ def build_parser():
         "matching experiment folder.",
     )
     parser.add_argument(
+        "-no_fused_views",
+        action="store_true",
+        help="Run the two pretrain views as separate forwards (strict reference "
+        "BatchNorm statistics) instead of one fused [2B] batch.",
+    )
+    parser.add_argument(
         "-knn_backend",
         type=str,
         default="sklearn",

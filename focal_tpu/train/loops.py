@@ -205,7 +205,10 @@ def pretrain(args):
     logging.info(f"= Model params: {param_count(state.params):,}")
 
     focal_loss = make_focal_loss(args)
-    train_step = make_pretrain_step(run.model, run.augmenter, focal_loss, run.mesh_plan)
+    train_step = make_pretrain_step(
+        run.model, run.augmenter, focal_loss, run.mesh_plan,
+        fused_views=not getattr(args, "no_fused_views", False),
+    )
     loss_step = make_pretrain_eval_step(run.model, run.augmenter, focal_loss, run.mesh_plan)
     feat_step = make_eval_step(run.model, run.augmenter, "feat", run.mesh_plan)
 

@@ -13,11 +13,18 @@ class TrainState(train_state.TrainState):
 
 def init_state(args, model, sample_freq_x, tx, rng):
     """Initialise model variables (running every head so all params exist)
-    and wrap them in a TrainState."""
+    and wrap them in a TrainState.
+
+    init is wrapped in jit: an eager init dispatches hundreds of one-op
+    programs, each separately compiled — pathological on remote-compile
+    backends."""
     params_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": params_rng, "dropout": dropout_rng}, sample_freq_x, train=False, head="both"
-    )
+
+    @jax.jit
+    def _init(rngs, x):
+        return model.init(rngs, x, train=False, head="both")
+
+    variables = _init({"params": params_rng, "dropout": dropout_rng}, sample_freq_x)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -93,9 +93,16 @@ def make_finetune_train_step(model, augmenter, mesh_plan=None):
     return _maybe_shard(step, mesh_plan)
 
 
-def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None):
+def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None, fused_views=True):
     """FOCAL pretraining: two random views -> projector features -> loss
-    (reference: loss_calc_utils.py:1-22 + pretrain.py:62-74)."""
+    (reference: loss_calc_utils.py:1-22 + pretrain.py:62-74).
+
+    fused_views runs both views through the backbone as ONE [2B] batch —
+    double the matmul batch for the MXU and half the fixed per-call cost.
+    BatchNorm then normalises over the joint views instead of each view
+    sequentially (the reference runs two separate forwards); disable for
+    strict reference statistics.
+    """
 
     def step(state, data, idx, rng):
         base = jax.random.fold_in(rng, state.step)
@@ -104,12 +111,29 @@ def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None):
         view1 = augmenter.random(rng_v1, batch)
         view2 = augmenter.random(rng_v2, batch)
 
-        def loss_fn(params):
-            f1, stats1 = _apply_train(model, state.replace(params=params), view1, rng_drop1, "proj")
-            st = state.replace(params=params, batch_stats=stats1)
-            f2, stats2 = _apply_train(model, st, view2, rng_drop2, "proj")
-            loss, parts = focal_loss(f1, f2)
-            return loss, (parts, stats2)
+        if fused_views:
+            b = idx.shape[0]
+            both = jax.tree_util.tree_map(
+                lambda a, c: jnp.concatenate([a, c], axis=0), view1, view2
+            )
+
+            def loss_fn(params):
+                feats, new_stats = _apply_train(
+                    model, state.replace(params=params), both, rng_drop1, "proj"
+                )
+                f1 = {m: v[:b] for m, v in feats.items()}
+                f2 = {m: v[b:] for m, v in feats.items()}
+                loss, parts = focal_loss(f1, f2)
+                return loss, (parts, new_stats)
+
+        else:
+
+            def loss_fn(params):
+                f1, stats1 = _apply_train(model, state.replace(params=params), view1, rng_drop1, "proj")
+                st = state.replace(params=params, batch_stats=stats1)
+                f2, stats2 = _apply_train(model, st, view2, rng_drop2, "proj")
+                loss, parts = focal_loss(f1, f2)
+                return loss, (parts, stats2)
 
         (loss, (parts, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
