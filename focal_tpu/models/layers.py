@@ -11,6 +11,7 @@ flax scan over the (static, short) interval axis.
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -86,10 +87,51 @@ class ConvBlock(nn.Module):
         return x
 
 
+class GRULayer(nn.Module):
+    """One GRU layer restructured for the MXU: the input projections for ALL
+    timesteps run as a single large matmul up front; only the small
+    hidden-to-hidden matmul stays in the (fully unrolled) recurrence.
+
+    Gate math matches torch.nn.GRU: r = s(Wir x + Whr h), z = s(Wiz x + Whz h),
+    n = tanh(Win x + r * (Whn h)), h' = (1-z) n + z h.
+
+    Input [b, t, c] -> Output [b, t, hidden].
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        H = self.hidden
+        wi = self.param("wi", nn.initializers.lecun_normal(), (C, 3 * H))
+        bi = self.param("bi", nn.initializers.zeros_init(), (3 * H,))
+        wh = self.param("wh", nn.initializers.orthogonal(), (H, 3 * H))
+        bh = self.param("bh", nn.initializers.zeros_init(), (3 * H,))
+
+        xproj = x @ wi + bi  # [b, t, 3H] — one MXU-friendly matmul
+        xproj = jnp.swapaxes(xproj, 0, 1)  # [t, b, 3H]
+
+        def step(h, xp):
+            hp = h @ wh + bh
+            r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
+            z = jax.nn.sigmoid(xp[..., H : 2 * H] + hp[..., H : 2 * H])
+            n = jnp.tanh(xp[..., 2 * H :] + r * hp[..., 2 * H :])
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        h0 = jnp.zeros((B, H), x.dtype)
+        _, ys = jax.lax.scan(step, h0, xproj, unroll=T)
+        return jnp.swapaxes(ys, 0, 1)  # [b, t, H]
+
+
 class BiGRU(nn.Module):
     """num_layers-layer bidirectional GRU, mean-pooled over time
     (reference: RecurrentModule.py:5-31 — torch.nn.GRU(bidirectional=True),
     inter-layer dropout, mean over intervals).
+
+    Both directions share one scan by stacking the reversed sequence into the
+    batch axis — twice the matmul width, same sequential depth.
 
     Input [b, i, c] -> Output [b, 2 * hidden].
     """
@@ -100,18 +142,14 @@ class BiGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        # GRU state math stays float32: tiny tensors, recurrent error compounds.
-        # Fully unrolled: the interval axis is short and static (10 on MOD),
-        # and unrolling lets XLA pipeline the small per-step matmuls instead
-        # of serialising a scan.
+        # GRU state math stays float32: tiny tensors, recurrent error compounds
         x = x.astype(jnp.float32)
-        unroll = x.shape[1]
+        b = x.shape[0]
         for layer in range(self.num_layers):
-            fwd = nn.RNN(nn.GRUCell(self.hidden), name=f"gru{layer}_fwd", unroll=unroll)
-            bwd = nn.RNN(
-                nn.GRUCell(self.hidden), name=f"gru{layer}_bwd", reverse=True, keep_order=True, unroll=unroll
-            )
-            x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+            both = jnp.concatenate([x, x[:, ::-1]], axis=0)  # [2b, t, c]
+            ys = GRULayer(self.hidden, name=f"gru{layer}")(both)
+            fwd, bwd = ys[:b], ys[b:, ::-1]
+            x = jnp.concatenate([fwd, bwd], axis=-1)
             if layer < self.num_layers - 1:
                 # torch GRU applies dropout between stacked layers only
                 x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)

@@ -85,6 +85,16 @@ def _epoch_rng(args):
     return jax.random.key(args.seed)
 
 
+def _nan_guard(train_loss, stage, epoch):
+    """Failure detection: stop on divergence instead of burning the rest of a
+    6000-epoch schedule. A `_resume` checkpoint from the last healthy val
+    point always exists (the reference has no failure handling; SURVEY §5)."""
+    if not np.isfinite(train_loss):
+        logging.error(f"[{stage}] non-finite train loss at epoch {epoch}; aborting. "
+                      f"Restart from the _resume checkpoint with -resume.")
+        raise FloatingPointError(f"{stage} diverged at epoch {epoch}: loss={train_loss}")
+
+
 def supervised_train(args):
     run = Run(args)
     train_epochs = (
@@ -167,6 +177,7 @@ def _classifier_loop(args, run, train_epochs, make_step, tx_builder, stage_name)
             test_loss, test_metrics = ev.eval_supervised(
                 args, state, eval_step, run.test_loader, run.device_data["test"], run.device_labels["test"]
             )
+            _nan_guard(train_loss, stage_name, epoch)
             dt = time.time() - block_t0
             logging.info(
                 f"[{stage_name}] epoch {epoch}: train loss {train_loss:.5f} "
@@ -255,6 +266,7 @@ def pretrain(args):
                 args, state, feat_step, loss_step, estimator,
                 run.test_loader, run.device_data["test"], jax.random.fold_in(eval_rng, epoch + 1),
             )
+            _nan_guard(train_loss, "pretrain", epoch)
             dt = time.time() - block_t0
             logging.info(
                 f"[pretrain] epoch {epoch}: train loss {train_loss:.5f} "

@@ -78,6 +78,23 @@ def test_all_recipes_forward_deepsense(dataset):
     assert all(p.shape == (2, 16) for p in proj.values())
 
 
+def test_ordinal_accuracy_metric(make_args):
+    """distance/speed tasks use the ordinal 'closeness' accuracy
+    (reference: eval_functions.py:13-17): 1 - |y - yhat| / max(y, K-1-y)."""
+    from focal_tpu.train.evaluate import eval_task_metrics
+
+    args = make_args(argv=["-dataset", "MOD_TINY", "-task", "distance_classification"])
+    labels = np.array([0, 1, 2, 2])
+    preds = np.array([0, 1, 2, 0])
+    acc, f1, conf = eval_task_metrics(args, labels, preds)
+    # rows 1-3 exact (closeness 1); row 4: 1 - |2-0|/max(2, 0) = 0
+    assert np.isclose(acc, (1 + 1 + 1 + 0) / 4)
+    # plain accuracy for classification tasks
+    args2 = make_args(argv=["-dataset", "MOD_TINY", "-task", "vehicle_classification"])
+    acc2, _, _ = eval_task_metrics(args2, labels, preds)
+    assert np.isclose(acc2, 0.75)
+
+
 def test_bf16_compute_path(make_args):
     """bf16 supervised step: runs, finite loss, params stay float32."""
     from focal_tpu.models import build_backbone

@@ -99,6 +99,26 @@ def test_ranking_matches_reference_math():
     assert np.isclose(got, want, rtol=1e-4)
 
 
+def test_focal_loss_noprivate_ablation(make_args):
+    """-tag noPrivate switches the shared InfoNCE to full (unsplit) features
+    (reference: loss.py:163-170)."""
+    base = make_args(
+        argv=["-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL", "-stage", "pretrain"]
+    )
+    ablated = make_args(
+        argv=["-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL",
+              "-stage", "pretrain", "-tag", "noPrivate"]
+    )
+    rng = np.random.default_rng(7)
+    f1 = {m: jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32)) for m in ["seismic", "audio"]}
+    f2 = {m: jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32)) for m in ["seismic", "audio"]}
+    _, parts_base = L.make_focal_loss(base)(f1, f2)
+    _, parts_abl = L.make_focal_loss(ablated)(f1, f2)
+    # shared term differs (full vs split features); private term is unchanged
+    assert not np.isclose(float(parts_base["shared"]), float(parts_abl["shared"]))
+    assert np.isclose(float(parts_base["private"]), float(parts_abl["private"]))
+
+
 def test_focal_loss_composition(make_args):
     args = make_args(
         argv=["-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL", "-stage", "pretrain"]
