@@ -213,10 +213,11 @@ def main():
     value, n_chips, loss = bench_jax()
     baseline = bench_torch_baseline()
     vs = value / baseline if baseline else 1.0
+    model = os.environ.get("BENCH_MODEL", "DeepSense").lower()
     print(
         json.dumps(
             {
-                "metric": "focal_pretrain_deepsense_mod_throughput",
+                "metric": f"focal_pretrain_{model}_mod_throughput",
                 "value": round(value, 2),
                 "unit": "windows/s/chip",
                 "vs_baseline": round(vs, 2),
