@@ -24,11 +24,10 @@ from focal_tpu.train.losses import make_focal_loss
 from focal_tpu.train.optim import build_optimizer
 from focal_tpu.train.state import init_state, param_count
 from focal_tpu.train.steps import (
+    make_classifier_epoch_fn,
     make_eval_step,
-    make_finetune_train_step,
+    make_pretrain_epoch_fn,
     make_pretrain_eval_step,
-    make_pretrain_step,
-    make_supervised_train_step,
 )
 from focal_tpu.parallel.mesh import make_mesh_plan, put_replicated
 
@@ -103,7 +102,7 @@ def supervised_train(args):
     tx_builder = lambda params: build_optimizer(
         args, params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
     )
-    return _classifier_loop(args, run, train_epochs, make_supervised_train_step, tx_builder, stage_name="supervised")
+    return _classifier_loop(args, run, train_epochs, fixed_aug=True, tx_builder=tx_builder, stage_name="supervised")
 
 
 def finetune(args):
@@ -116,11 +115,15 @@ def finetune(args):
     tx_builder = lambda params: build_optimizer(
         args, params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
     )
-    return _classifier_loop(args, run, train_epochs, make_finetune_train_step, tx_builder, stage_name="finetune")
+    return _classifier_loop(args, run, train_epochs, fixed_aug=False, tx_builder=tx_builder, stage_name="finetune")
 
 
-def _classifier_loop(args, run, train_epochs, make_step, tx_builder, stage_name):
-    """Shared supervised/finetune loop (they differ in augmentation + init)."""
+def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name):
+    """Shared supervised/finetune loop (they differ in augmentation + init).
+
+    Training runs as ONE jitted call per epoch (on-device shuffle +
+    lax.scan over steps): per-step host dispatch through a tunneled TPU costs
+    orders of magnitude more than the step itself."""
     sample = run.sample_freq_batch()
     rng = _epoch_rng(args)
     # init with a throwaway tx to create params, then rebuild with freeze mask
@@ -137,7 +140,14 @@ def _classifier_loop(args, run, train_epochs, make_step, tx_builder, stage_name)
     state = put_replicated(state, run.mesh_plan)
     logging.info(f"= Model params: {param_count(state.params):,}")
 
-    train_step = make_step(run.model, run.augmenter, run.mesh_plan)
+    epoch_fn = make_classifier_epoch_fn(
+        run.model,
+        run.augmenter,
+        n_items=len(run.train_loader.dataset),
+        batch_size=run.train_loader.batch_size,
+        fixed_aug=fixed_aug,
+        mesh_plan=run.mesh_plan,
+    )
     eval_step = make_eval_step(run.model, run.augmenter, "class", run.mesh_plan)
 
     best_path, latest_path = checkpoint_paths(args)
@@ -160,17 +170,14 @@ def _classifier_loop(args, run, train_epochs, make_step, tx_builder, stage_name)
     for epoch in range(start_epoch, train_epochs):
         if args.profile_dir and epoch == start_epoch + 1:
             jax.profiler.start_trace(args.profile_dir)
-        losses = []
-        for plan in run.train_loader:
-            state, metrics = train_step(state, data, labels, jnp.asarray(plan.idx), step_rng)
-            losses.append(metrics["loss"])
-            block_windows += len(plan.idx)
+        state, epoch_loss, _ = epoch_fn(state, data, labels, jax.random.fold_in(step_rng, epoch))
+        block_windows += epoch_fn.windows_per_epoch
         if args.profile_dir and epoch == start_epoch + 1:
-            jax.block_until_ready(metrics["loss"])
+            jax.block_until_ready(epoch_loss)
             jax.profiler.stop_trace()
             logging.info(f"= Profiler trace written to {args.profile_dir}")
         if epoch % val_epochs == 0 or epoch == train_epochs - 1:
-            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            train_loss = float(jax.device_get(epoch_loss))
             val_loss, val_metrics = ev.eval_supervised(
                 args, state, eval_step, run.val_loader, run.device_data["val"], run.device_labels["val"]
             )
@@ -216,8 +223,15 @@ def pretrain(args):
     logging.info(f"= Model params: {param_count(state.params):,}")
 
     focal_loss = make_focal_loss(args)
-    train_step = make_pretrain_step(
-        run.model, run.augmenter, focal_loss, run.mesh_plan,
+    train_ds = run.train_loader.dataset
+    epoch_fn = make_pretrain_epoch_fn(
+        run.model,
+        run.augmenter,
+        focal_loss,
+        n_items=train_ds.num_subseqs,
+        batch_size=run.train_loader.batch_size,
+        subseq_idx=train_ds.subseq_idx,
+        mesh_plan=run.mesh_plan,
         fused_views=not getattr(args, "no_fused_views", False),
     )
     loss_step = make_pretrain_eval_step(run.model, run.augmenter, focal_loss, run.mesh_plan)
@@ -244,17 +258,14 @@ def pretrain(args):
     for epoch in range(start_epoch, train_epochs):
         if args.profile_dir and epoch == start_epoch + 1:
             jax.profiler.start_trace(args.profile_dir)
-        losses = []
-        for plan in run.train_loader:
-            state, metrics = train_step(state, data, jnp.asarray(plan.idx), step_rng)
-            losses.append(metrics["loss"])
-            block_windows += len(plan.idx)
+        state, epoch_loss = epoch_fn(state, data, jax.random.fold_in(step_rng, epoch))
+        block_windows += epoch_fn.windows_per_epoch
         if args.profile_dir and epoch == start_epoch + 1:
-            jax.block_until_ready(metrics["loss"])
+            jax.block_until_ready(epoch_loss)
             jax.profiler.stop_trace()
             logging.info(f"= Profiler trace written to {args.profile_dir}")
         if epoch % val_epochs == 0 or epoch == train_epochs - 1:
-            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            train_loss = float(jax.device_get(epoch_loss))
             estimator = ev.compute_knn(
                 state, feat_step, run.train_loader, data, backend=getattr(args, "knn_backend", "sklearn")
             )
