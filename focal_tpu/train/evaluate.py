@@ -1,15 +1,54 @@
 """Evaluation: task metrics, supervised eval, KNN-probe eval
 (reference: src/train_utils/eval_functions.py:11-131, src/train_utils/knn.py).
-Metrics run host-side in numpy/sklearn; the forward passes are jitted."""
+
+Forward passes over a whole split run as ONE jitted call (lax.scan over a
+precomputed [n_batches, B] index matrix) — per-batch dispatch through a
+tunneled TPU dominates otherwise. Metrics run host-side in numpy/sklearn."""
 
 import logging
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from sklearn.metrics import accuracy_score, confusion_matrix, f1_score
 
 from focal_tpu.ops.knn import make_knn
 from focal_tpu.train.losses import cross_entropy
+
+
+class EvalPlan:
+    """Static batch schedule for one split: device-resident index matrix
+    [nb, B] plus host-side validity weights [nb, B]."""
+
+    def __init__(self, loader, mesh_plan=None):
+        from focal_tpu.parallel.mesh import put_replicated
+
+        plans = list(loader)
+        self.idx = np.stack([p.idx for p in plans])  # [nb, B]
+        self.weight = np.stack([p.weight for p in plans])  # [nb, B]
+        self.device_idx = put_replicated(jnp.asarray(self.idx), mesh_plan)
+        self.labels = loader.dataset.labels[self.idx]  # [nb, B]
+
+
+def make_batched_forward(model, augmenter, head, mesh_plan=None):
+    """(state, data, idx_matrix[nb, B]) -> outputs stacked over batches,
+    computed in one device call."""
+
+    def fn(state, data, idx_matrix):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(_, idx):
+            batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+            freq_x = augmenter.no(batch)
+            return None, model.apply(variables, freq_x, train=False, head=head)
+
+        _, outs = jax.lax.scan(body, None, idx_matrix)
+        return outs
+
+    if mesh_plan is None:
+        return jax.jit(fn)
+    r = mesh_plan.replicated
+    return jax.jit(fn, in_shardings=(r, r, r))
 
 
 def eval_task_metrics(args, labels, predictions):
@@ -32,58 +71,73 @@ def eval_task_metrics(args, labels, predictions):
     return mean_acc, mean_f1, conf
 
 
-def eval_supervised(args, state, eval_step, loader, data, labels):
+def eval_supervised(args, state, fwd_class, plan, data):
     """No-aug forward over a split -> (mean loss, (acc, f1, confusion))."""
-    losses, preds, labs, weights = [], [], [], []
-    for plan in loader:
-        logits = eval_step(state, data, plan.idx)
-        logits = np.asarray(jax.device_get(logits), dtype=np.float32)
-        y = np.asarray(loader.dataset.labels[plan.idx])
-        w = plan.weight
-        losses.append(float(cross_entropy(logits, y, weight=w)))
-        keep = w > 0
-        preds.append(logits.argmax(-1)[keep])
-        labs.append(y[keep])
-        weights.append(w)
-    mean_loss = float(np.mean(losses))
-    metrics = eval_task_metrics(args, np.concatenate(labs), np.concatenate(preds))
+    logits = np.asarray(jax.device_get(fwd_class(state, data, plan.device_idx)), np.float32)
+    flat = logits.reshape(-1, logits.shape[-1])
+    y = plan.labels.reshape(-1)
+    w = plan.weight.reshape(-1)
+    mean_loss = float(cross_entropy(jnp.asarray(flat), jnp.asarray(y), weight=jnp.asarray(w)))
+    keep = w > 0
+    metrics = eval_task_metrics(args, y[keep], flat.argmax(-1)[keep])
     return mean_loss, metrics
 
 
-def extract_features(state, eval_step, loader, data):
+def extract_features(state, fwd_feat, plan, data):
     """Concatenated per-mod encoder features for the KNN probe
     (reference: knn.py:7-20: class_head=False, no projection)."""
-    feats, labs = [], []
-    for plan in loader:
-        mod_feats = eval_step(state, data, plan.idx)  # {mod: [B, d]}
-        stacked = np.concatenate(
-            [np.asarray(jax.device_get(mod_feats[m]), np.float32) for m in sorted(mod_feats)], axis=1
-        )
-        keep = plan.weight > 0
-        feats.append(stacked[keep])
-        labs.append(loader.dataset.labels[plan.idx][keep])
-    return np.concatenate(feats), np.concatenate(labs)
+    mod_feats = fwd_feat(state, data, plan.device_idx)  # {mod: [nb, B, d]}
+    stacked = np.concatenate(
+        [np.asarray(jax.device_get(mod_feats[m]), np.float32) for m in sorted(mod_feats)], axis=-1
+    )
+    stacked = stacked.reshape(-1, stacked.shape[-1])
+    keep = plan.weight.reshape(-1) > 0
+    return stacked[keep], plan.labels.reshape(-1)[keep]
 
 
-def compute_knn(state, feat_step, train_loader, train_data, backend="sklearn"):
+def compute_knn(state, fwd_feat, plan, train_data, backend="sklearn"):
     """Fit the KNN probe on train features (reference: knn.py:22-42).
     backend 'jnp' runs neighbour search on device."""
-    feats, labs = extract_features(state, feat_step, train_loader, train_data)
+    feats, labs = extract_features(state, fwd_feat, plan, train_data)
     estimator = make_knn(backend)
     estimator.fit(feats, labs)
     return estimator
 
 
-def eval_pretrained(args, state, feat_step, loss_step, estimator, loader, data, rng):
+def make_batched_pretrain_loss(model, augmenter, focal_loss, mesh_plan=None):
+    """Mean pretrain loss over a split in one device call
+    (reference: eval_functions.py:65-80 reuses calc_pretrain_loss)."""
+
+    def fn(state, data, idx_matrix, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(_, inp):
+            i, idx = inp
+            batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+            r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
+            f1 = model.apply(variables, augmenter.random(r1, batch), train=False, head="proj")
+            f2 = model.apply(variables, augmenter.random(r2, batch), train=False, head="proj")
+            loss, _ = focal_loss(f1, f2)
+            return None, loss
+
+        nb = idx_matrix.shape[0]
+        _, losses = jax.lax.scan(body, None, (jnp.arange(nb), idx_matrix))
+        return jnp.mean(losses)
+
+    if mesh_plan is None:
+        return jax.jit(fn)
+    r = mesh_plan.replicated
+    return jax.jit(fn, in_shardings=(r, r, r, r))
+
+
+def eval_pretrained(args, state, fwd_feat, loss_fn, estimator, plan, data, rng):
     """Pretrain loss + KNN predictions on a split
     (reference: eval_functions.py:65-97)."""
-    losses = []
-    for i, plan in enumerate(loader):
-        losses.append(float(loss_step(state, data, plan.idx, jax.random.fold_in(rng, i))))
-    feats, labs = extract_features(state, feat_step, loader, data)
+    mean_loss = float(jax.device_get(loss_fn(state, data, plan.device_idx, rng)))
+    feats, labs = extract_features(state, fwd_feat, plan, data)
     preds = estimator.predict(feats)
     metrics = eval_task_metrics(args, labs, preds)
-    return float(np.mean(losses)), metrics
+    return mean_loss, metrics
 
 
 def log_val_test(stage, epoch, val_loss, val_metrics, test_loss, test_metrics):

@@ -25,9 +25,7 @@ from focal_tpu.train.optim import build_optimizer
 from focal_tpu.train.state import init_state, param_count
 from focal_tpu.train.steps import (
     make_classifier_epoch_fn,
-    make_eval_step,
     make_pretrain_epoch_fn,
-    make_pretrain_eval_step,
 )
 from focal_tpu.parallel.mesh import make_mesh_plan, put_replicated
 
@@ -64,6 +62,14 @@ class Run:
                 self.mesh_plan,
             )
             self.device_labels[name] = put_replicated(jnp.asarray(ds.labels), self.mesh_plan)
+
+    def eval_plan(self, split):
+        if not hasattr(self, "_eval_plans"):
+            self._eval_plans = {}
+        if split not in self._eval_plans:
+            loader = {"train": self.train_loader, "val": self.val_loader, "test": self.test_loader}[split]
+            self._eval_plans[split] = ev.EvalPlan(loader, self.mesh_plan)
+        return self._eval_plans[split]
 
     def sample_freq_batch(self, batch_size=2):
         """A tiny freq-domain batch for model init."""
@@ -148,7 +154,7 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
         fixed_aug=fixed_aug,
         mesh_plan=run.mesh_plan,
     )
-    eval_step = make_eval_step(run.model, run.augmenter, "class", run.mesh_plan)
+    fwd_class = ev.make_batched_forward(run.model, run.augmenter, "class", run.mesh_plan)
 
     best_path, latest_path = checkpoint_paths(args)
     resume_path = latest_path.replace("_latest", "_resume")
@@ -170,7 +176,7 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     for epoch in range(start_epoch, train_epochs):
         if args.profile_dir and epoch == start_epoch + 1:
             jax.profiler.start_trace(args.profile_dir)
-        state, epoch_loss, _ = epoch_fn(state, data, labels, jax.random.fold_in(step_rng, epoch))
+        state, epoch_loss, _ = epoch_fn(state, data, labels, step_rng)
         block_windows += epoch_fn.windows_per_epoch
         if args.profile_dir and epoch == start_epoch + 1:
             jax.block_until_ready(epoch_loss)
@@ -179,10 +185,10 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
         if epoch % val_epochs == 0 or epoch == train_epochs - 1:
             train_loss = float(jax.device_get(epoch_loss))
             val_loss, val_metrics = ev.eval_supervised(
-                args, state, eval_step, run.val_loader, run.device_data["val"], run.device_labels["val"]
+                args, state, fwd_class, run.eval_plan("val"), run.device_data["val"]
             )
             test_loss, test_metrics = ev.eval_supervised(
-                args, state, eval_step, run.test_loader, run.device_data["test"], run.device_labels["test"]
+                args, state, fwd_class, run.eval_plan("test"), run.device_data["test"]
             )
             _nan_guard(train_loss, stage_name, epoch)
             dt = time.time() - block_t0
@@ -190,7 +196,6 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
                 f"[{stage_name}] epoch {epoch}: train loss {train_loss:.5f} "
                 f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
             )
-            block_t0, block_windows = time.time(), 0
             ev.log_val_test(stage_name, epoch, val_loss, val_metrics, test_loss, test_metrics)
             ckpt.save_state(latest_path, state)
             ckpt.save_state(
@@ -199,6 +204,7 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
             if val_metrics[0] > best_val_acc:
                 best_val_acc = val_metrics[0]
                 ckpt.save_state(best_path, state)
+            block_t0, block_windows = time.time(), 0
     logging.info(f"[{stage_name}] total time {time.time() - start:.1f}s, best val acc {best_val_acc:.5f}")
     return state, best_val_acc
 
@@ -234,8 +240,16 @@ def pretrain(args):
         mesh_plan=run.mesh_plan,
         fused_views=not getattr(args, "no_fused_views", False),
     )
-    loss_step = make_pretrain_eval_step(run.model, run.augmenter, focal_loss, run.mesh_plan)
-    feat_step = make_eval_step(run.model, run.augmenter, "feat", run.mesh_plan)
+    loss_fn = ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan)
+    fwd_feat = ev.make_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan)
+    # dedicated full-coverage (padded, unshuffled) pass over train for the probe
+    from focal_tpu.data.loader import DeviceDataLoader
+
+    knn_loader = DeviceDataLoader(
+        train_ds, run.train_loader.batch_size, shuffle=False, drop_last=False,
+        sequence=run.train_loader.sequence, seed=args.seed,
+    )
+    knn_plan = ev.EvalPlan(knn_loader, run.mesh_plan)
 
     best_path, latest_path = checkpoint_paths(args)
     resume_path = latest_path.replace("_latest", "_resume")
@@ -258,7 +272,7 @@ def pretrain(args):
     for epoch in range(start_epoch, train_epochs):
         if args.profile_dir and epoch == start_epoch + 1:
             jax.profiler.start_trace(args.profile_dir)
-        state, epoch_loss = epoch_fn(state, data, jax.random.fold_in(step_rng, epoch))
+        state, epoch_loss = epoch_fn(state, data, step_rng)
         block_windows += epoch_fn.windows_per_epoch
         if args.profile_dir and epoch == start_epoch + 1:
             jax.block_until_ready(epoch_loss)
@@ -267,15 +281,15 @@ def pretrain(args):
         if epoch % val_epochs == 0 or epoch == train_epochs - 1:
             train_loss = float(jax.device_get(epoch_loss))
             estimator = ev.compute_knn(
-                state, feat_step, run.train_loader, data, backend=getattr(args, "knn_backend", "sklearn")
+                state, fwd_feat, knn_plan, data, backend=getattr(args, "knn_backend", "sklearn")
             )
             val_loss, val_metrics = ev.eval_pretrained(
-                args, state, feat_step, loss_step, estimator,
-                run.val_loader, run.device_data["val"], jax.random.fold_in(eval_rng, epoch),
+                args, state, fwd_feat, loss_fn, estimator,
+                run.eval_plan("val"), run.device_data["val"], jax.random.fold_in(eval_rng, epoch),
             )
             test_loss, test_metrics = ev.eval_pretrained(
-                args, state, feat_step, loss_step, estimator,
-                run.test_loader, run.device_data["test"], jax.random.fold_in(eval_rng, epoch + 1),
+                args, state, fwd_feat, loss_fn, estimator,
+                run.eval_plan("test"), run.device_data["test"], jax.random.fold_in(eval_rng, epoch + 1),
             )
             _nan_guard(train_loss, "pretrain", epoch)
             dt = time.time() - block_t0
@@ -283,7 +297,6 @@ def pretrain(args):
                 f"[pretrain] epoch {epoch}: train loss {train_loss:.5f} "
                 f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
             )
-            block_t0, block_windows = time.time(), 0
             ev.log_val_test("pretrain", epoch, val_loss, val_metrics, test_loss, test_metrics)
             # backbone-only saves (reference: pretrain.py:94-100)
             ckpt.save_params(latest_path, state.params, state.batch_stats)
@@ -293,5 +306,6 @@ def pretrain(args):
             if val_loss < best_val_loss:
                 best_val_loss = val_loss
                 ckpt.save_params(best_path, state.params, state.batch_stats)
+            block_t0, block_windows = time.time(), 0
     logging.info(f"[pretrain] total time {time.time() - start:.1f}s, best val loss {best_val_loss:.5f}")
     return state, best_val_loss

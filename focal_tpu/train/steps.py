@@ -212,8 +212,11 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         per = batch_size
     steps_per_epoch = max(1, n_items // per)
 
-    def epoch_fn(state, data, subseq_rows, epoch_rng):
-        perm_rng, step_rng = jax.random.split(epoch_rng)
+    def epoch_fn(state, data, subseq_rows, rng):
+        # epoch index derives from the optimizer step counter: no per-call
+        # host scalar crosses the tunnel
+        epoch = state.step // steps_per_epoch
+        perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
         perm = jax.random.permutation(perm_rng, n_items)
 
         def body(state, i):
@@ -265,9 +268,19 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         r = mesh_plan.replicated
         jitted = jax.jit(epoch_fn, in_shardings=(r, r, r, r), donate_argnums=(0,))
 
-    def run(state, data, epoch_rng):
-        rows = None if subseq_idx is None else jnp.asarray(subseq_idx)
-        return jitted(state, data, rows, epoch_rng)
+    # the subsequence table and rng go to the device ONCE; every epoch-call
+    # argument after that is already device-resident
+    from focal_tpu.parallel.mesh import put_replicated
+
+    rows = None if subseq_idx is None else put_replicated(jnp.asarray(subseq_idx), mesh_plan)
+    rng_cache = {}
+
+    def run(state, data, rng, epoch=None):  # epoch kept for API compat, unused
+        key = id(rng)
+        if key not in rng_cache:
+            rng_cache.clear()
+            rng_cache[key] = put_replicated(rng, mesh_plan)
+        return jitted(state, data, rows, rng_cache[key])
 
     run.steps_per_epoch = steps_per_epoch
     run.windows_per_epoch = steps_per_epoch * per * (subseq_idx.shape[1] if subseq_idx is not None else 1)
@@ -280,8 +293,9 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
     per = min(batch_size, n_items)
     steps_per_epoch = max(1, n_items // per)
 
-    def epoch_fn(state, data, labels, epoch_rng):
-        perm_rng, step_rng = jax.random.split(epoch_rng)
+    def epoch_fn(state, data, labels, rng):
+        epoch = state.step // steps_per_epoch
+        perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
         perm = jax.random.permutation(perm_rng, n_items)
 
         def body(state, i):
@@ -315,8 +329,16 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
         r = mesh_plan.replicated
         jitted = jax.jit(epoch_fn, in_shardings=(r, r, r, r), donate_argnums=(0,))
 
-    def run(state, data, labels, epoch_rng):
-        return jitted(state, data, labels, epoch_rng)
+    from focal_tpu.parallel.mesh import put_replicated
+
+    rng_cache = {}
+
+    def run(state, data, labels, rng, epoch=None):  # epoch kept for API compat, unused
+        key = id(rng)
+        if key not in rng_cache:
+            rng_cache.clear()
+            rng_cache[key] = put_replicated(rng, mesh_plan)
+        return jitted(state, data, labels, rng_cache[key])
 
     run.steps_per_epoch = steps_per_epoch
     run.windows_per_epoch = steps_per_epoch * per

@@ -28,7 +28,6 @@ from focal_tpu.parallel.mesh import make_mesh_plan, put_replicated
 from focal_tpu.train import checkpoint as ckpt
 from focal_tpu.train import evaluate as ev
 from focal_tpu.train.state import init_state
-from focal_tpu.train.steps import make_eval_step
 
 import jax
 import jax.numpy as jnp
@@ -55,8 +54,9 @@ def test(args):
     state = ckpt.load_params_into(state, args.classifier_weight, load_class_layer=True)
     state = put_replicated(state, mesh_plan)
 
-    eval_step = make_eval_step(model, augmenter, "class", mesh_plan)
-    test_loss, metrics = ev.eval_supervised(args, state, eval_step, test_loader, data, labels)
+    fwd_class = ev.make_batched_forward(model, augmenter, "class", mesh_plan)
+    plan = ev.EvalPlan(test_loader, mesh_plan)
+    test_loss, metrics = ev.eval_supervised(args, state, fwd_class, plan, data)
 
     print(f"Test classifier loss: {test_loss: .5f}")
     print(f"Test acc: {metrics[0]: .5f}, test f1: {metrics[1]: .5f}")
