@@ -13,7 +13,7 @@ import numpy as np
 from sklearn.metrics import accuracy_score, confusion_matrix, f1_score
 
 from focal_tpu.ops.knn import make_knn
-from focal_tpu.train.losses import cross_entropy
+from focal_tpu.train.steps import _shard_batch, gather_batch
 
 
 class EvalPlan:
@@ -38,7 +38,7 @@ def make_batched_forward(model, augmenter, head, mesh_plan=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         def body(_, idx):
-            batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+            batch = _shard_batch(gather_batch(data, idx), mesh_plan)
             freq_x = augmenter.no(batch)
             return None, model.apply(variables, freq_x, train=False, head=head)
 
@@ -71,14 +71,28 @@ def eval_task_metrics(args, labels, predictions):
     return mean_acc, mean_f1, conf
 
 
+def _np_cross_entropy(logits, labels, weight):
+    """Weighted mean CE in numpy on [B, C] host arrays."""
+    shifted = logits - logits.max(axis=-1, keepdims=True)
+    logp = shifted - np.log(np.exp(shifted).sum(axis=-1, keepdims=True))
+    per = -logp[np.arange(len(labels)), labels]
+    return float((per * weight).sum() / max(weight.sum(), 1.0))
+
+
 def eval_supervised(args, state, fwd_class, plan, data):
-    """No-aug forward over a split -> (mean loss, (acc, f1, confusion))."""
+    """No-aug forward over a split -> (mean loss, (acc, f1, confusion)).
+
+    Loss is the mean of per-batch weighted means, matching the reference's
+    one-loss-per-batch accumulation (eval_functions.py:29-55)."""
     logits = np.asarray(jax.device_get(fwd_class(state, data, plan.device_idx)), np.float32)
+    batch_losses = [
+        _np_cross_entropy(logits[b], plan.labels[b], plan.weight[b])
+        for b in range(logits.shape[0])
+    ]
+    mean_loss = float(np.mean(batch_losses))
     flat = logits.reshape(-1, logits.shape[-1])
     y = plan.labels.reshape(-1)
-    w = plan.weight.reshape(-1)
-    mean_loss = float(cross_entropy(jnp.asarray(flat), jnp.asarray(y), weight=jnp.asarray(w)))
-    keep = w > 0
+    keep = plan.weight.reshape(-1) > 0
     metrics = eval_task_metrics(args, y[keep], flat.argmax(-1)[keep])
     return mean_loss, metrics
 
@@ -113,7 +127,7 @@ def make_batched_pretrain_loss(model, augmenter, focal_loss, mesh_plan=None):
 
         def body(_, inp):
             i, idx = inp
-            batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+            batch = _shard_batch(gather_batch(data, idx), mesh_plan)
             r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
             f1 = model.apply(variables, augmenter.random(r1, batch), train=False, head="proj")
             f2 = model.apply(variables, augmenter.random(r2, batch), train=False, head="proj")

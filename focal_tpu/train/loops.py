@@ -62,12 +62,20 @@ class Run:
                 self.mesh_plan,
             )
             self.device_labels[name] = put_replicated(jnp.asarray(ds.labels), self.mesh_plan)
+        self._eval_plans = {}
 
     def eval_plan(self, split):
-        if not hasattr(self, "_eval_plans"):
-            self._eval_plans = {}
+        """Static full-coverage batch schedule for a split: always built from
+        a dedicated unshuffled, padded loader (the train loader itself
+        shuffles and drops the ragged tail)."""
         if split not in self._eval_plans:
-            loader = {"train": self.train_loader, "val": self.val_loader, "test": self.test_loader}[split]
+            from focal_tpu.data.loader import DeviceDataLoader
+
+            base = {"train": self.train_loader, "val": self.val_loader, "test": self.test_loader}[split]
+            loader = DeviceDataLoader(
+                base.dataset, base.batch_size, shuffle=False, drop_last=False,
+                sequence=base.sequence, seed=self.args.seed,
+            )
             self._eval_plans[split] = ev.EvalPlan(loader, self.mesh_plan)
         return self._eval_plans[split]
 
@@ -242,14 +250,7 @@ def pretrain(args):
     )
     loss_fn = ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan)
     fwd_feat = ev.make_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan)
-    # dedicated full-coverage (padded, unshuffled) pass over train for the probe
-    from focal_tpu.data.loader import DeviceDataLoader
-
-    knn_loader = DeviceDataLoader(
-        train_ds, run.train_loader.batch_size, shuffle=False, drop_last=False,
-        sequence=run.train_loader.sequence, seed=args.seed,
-    )
-    knn_plan = ev.EvalPlan(knn_loader, run.mesh_plan)
+    knn_plan = run.eval_plan("train")
 
     best_path, latest_path = checkpoint_paths(args)
     resume_path = latest_path.replace("_latest", "_resume")

@@ -66,33 +66,6 @@ def make_supervised_train_step(model, augmenter, mesh_plan=None):
     return _maybe_shard(step, mesh_plan)
 
 
-def make_finetune_train_step(model, augmenter, mesh_plan=None):
-    """Same as supervised but with the no-aug pipeline
-    (reference: finetune.py:54-67 uses augmenter.forward('no'))."""
-
-    noaug = augmenter.no
-
-    def step(state, data, labels, idx, rng):
-        _, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
-        batch = gather_batch(data, idx)
-        targets = jnp.take(labels, idx, axis=0)
-        freq_x = noaug(batch)
-
-        def loss_fn(params):
-            out, new_stats = _apply_train(
-                model, state.replace(params=params), freq_x, rng_drop, "class"
-            )
-            return cross_entropy(out, targets), (out, new_stats)
-
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
-        state = state.replace(batch_stats=new_stats)
-        acc = jnp.mean((logits.argmax(-1) == targets).astype(jnp.float32))
-        return state, {"loss": loss, "acc": acc}
-
-    return _maybe_shard(step, mesh_plan)
-
-
 def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None, fused_views=True):
     """FOCAL pretraining: two random views -> projector features -> loss
     (reference: loss_calc_utils.py:1-22 + pretrain.py:62-74).
@@ -141,47 +114,6 @@ def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None, fused_views
         return state, {"loss": loss, **parts}
 
     return _maybe_shard(step, mesh_plan, has_labels=False)
-
-
-def make_eval_step(model, augmenter, head="class", mesh_plan=None):
-    """(state, data, idx) -> model outputs on the no-aug pipeline."""
-
-    def step(state, data, idx):
-        batch = gather_batch(data, idx)
-        freq_x = augmenter.no(batch)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return model.apply(variables, freq_x, train=False, head=head)
-
-    if mesh_plan is None:
-        return jax.jit(step, static_argnames=())
-    in_shardings = (mesh_plan.replicated, mesh_plan.replicated, mesh_plan.batch_sharded)
-    return jax.jit(step, in_shardings=in_shardings, out_shardings=mesh_plan.batch_sharded)
-
-
-def make_pretrain_eval_step(model, augmenter, focal_loss, mesh_plan=None):
-    """Pretrain loss on two fresh random views, eval mode (no dropout);
-    reference: eval_functions.py:65-80 reuses calc_pretrain_loss."""
-
-    def step(state, data, idx, rng):
-        rng_v1, rng_v2 = jax.random.split(rng)
-        batch = gather_batch(data, idx)
-        view1 = augmenter.random(rng_v1, batch)
-        view2 = augmenter.random(rng_v2, batch)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        f1 = model.apply(variables, view1, train=False, head="proj")
-        f2 = model.apply(variables, view2, train=False, head="proj")
-        loss, _ = focal_loss(f1, f2)
-        return loss
-
-    if mesh_plan is None:
-        return jax.jit(step)
-    in_shardings = (
-        mesh_plan.replicated,
-        mesh_plan.replicated,
-        mesh_plan.batch_sharded,
-        mesh_plan.replicated,
-    )
-    return jax.jit(step, in_shardings=in_shardings)
 
 
 def _shard_batch(batch, mesh_plan):
@@ -273,14 +205,16 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
     from focal_tpu.parallel.mesh import put_replicated
 
     rows = None if subseq_idx is None else put_replicated(jnp.asarray(subseq_idx), mesh_plan)
+    # cache holds the host key object too: keying by id() alone is unsafe
+    # because CPython reuses freed addresses for per-call temporary keys
     rng_cache = {}
 
-    def run(state, data, rng, epoch=None):  # epoch kept for API compat, unused
-        key = id(rng)
-        if key not in rng_cache:
+    def run(state, data, rng):
+        entry = rng_cache.get(id(rng))
+        if entry is None or entry[0] is not rng:
             rng_cache.clear()
-            rng_cache[key] = put_replicated(rng, mesh_plan)
-        return jitted(state, data, rows, rng_cache[key])
+            rng_cache[id(rng)] = (rng, put_replicated(rng, mesh_plan))
+        return jitted(state, data, rows, rng_cache[id(rng)][1])
 
     run.steps_per_epoch = steps_per_epoch
     run.windows_per_epoch = steps_per_epoch * per * (subseq_idx.shape[1] if subseq_idx is not None else 1)
@@ -333,12 +267,12 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
 
     rng_cache = {}
 
-    def run(state, data, labels, rng, epoch=None):  # epoch kept for API compat, unused
-        key = id(rng)
-        if key not in rng_cache:
+    def run(state, data, labels, rng):
+        entry = rng_cache.get(id(rng))
+        if entry is None or entry[0] is not rng:
             rng_cache.clear()
-            rng_cache[key] = put_replicated(rng, mesh_plan)
-        return jitted(state, data, labels, rng_cache[key])
+            rng_cache[id(rng)] = (rng, put_replicated(rng, mesh_plan))
+        return jitted(state, data, labels, rng_cache[id(rng)][1])
 
     run.steps_per_epoch = steps_per_epoch
     run.windows_per_epoch = steps_per_epoch * per

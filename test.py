@@ -44,7 +44,6 @@ def test(args):
         {loc: {m: jnp.asarray(a) for m, a in mods.items()} for loc, mods in ds.data.items()},
         mesh_plan,
     )
-    labels = put_replicated(jnp.asarray(ds.labels), mesh_plan)
 
     sample = augmenter.no(
         {loc: {m: jnp.asarray(a[:2]) for m, a in mods.items()} for loc, mods in ds.data.items()}

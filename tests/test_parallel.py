@@ -93,6 +93,25 @@ def test_dp_pretrain_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_dp_batched_eval_runs_and_matches(setup):
+    """The scanned eval forward must produce identical outputs on and off the
+    mesh (and carries a batch-sharding constraint inside)."""
+    from focal_tpu.train import evaluate as ev
+
+    args, model, augmenter, data, state = setup
+    idx_matrix = jnp.arange(64, dtype=jnp.int32).reshape(2, 32)
+
+    fwd1 = ev.make_batched_forward(model, augmenter, "class", None)
+    out1 = fwd1(state, data, idx_matrix)
+
+    plan = make_mesh_plan(8)
+    fwd8 = ev.make_batched_forward(model, augmenter, "class", plan)
+    out8 = fwd8(
+        put_replicated(state, plan), put_replicated(data, plan), put_replicated(idx_matrix, plan)
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out8), rtol=1e-4, atol=1e-5)
+
+
 def test_dp_supervised_step_runs(setup):
     args, model, augmenter, data, state = setup
     labels = jnp.asarray(np.arange(64) % 7, jnp.int32)
