@@ -98,7 +98,9 @@ def create_dataloader(option, args, batch_size=None, workers=None):
     """Build a DeviceDataLoader for a split. `workers` accepted for CLI parity."""
     batch_size = batch_size or args.batch_size
     seq_len = args.dataset_config.get("seq_len") if args.sequence_sampler else None
-    delimiter = "-" if args.dataset == "RealWorld_HAR" else "_"
+    # RealWorld_HAR file names use '-' as the sequence delimiter
+    # (reference: multi_modal_dataset.py:74-78); synthetic samples always use '_'
+    delimiter = "-" if args.dataset == "RealWorld_HAR" and not getattr(args, "synthetic", False) else "_"
 
     if getattr(args, "synthetic", False):
         sizes = {"train": args.synthetic_samples, "val": args.synthetic_samples // 4, "test": args.synthetic_samples // 4}

@@ -93,6 +93,12 @@ def build_parser():
         "matching experiment folder.",
     )
     parser.add_argument(
+        "-epochs_per_call",
+        type=int,
+        default=0,
+        help="Epochs executed per device call (0 = auto: one val block for long runs).",
+    )
+    parser.add_argument(
         "-no_fused_views",
         action="store_true",
         help="Run the two pretrain views as separate forwards (strict reference "

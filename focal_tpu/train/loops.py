@@ -98,6 +98,17 @@ def _epoch_rng(args):
     return jax.random.key(args.seed)
 
 
+def _block_size(args, val_epochs, remaining_epochs):
+    """Epochs per device call: a whole val block when the run is long enough
+    to pay for the second compiled variant; -epochs_per_call overrides."""
+    override = getattr(args, "epochs_per_call", 0) or 0
+    if override:
+        return max(1, min(override, val_epochs))
+    if val_epochs > 1 and remaining_epochs >= 5 * val_epochs:
+        return val_epochs
+    return 1
+
+
 def _nan_guard(train_loss, stage, epoch):
     """Failure detection: stop on divergence instead of burning the rest of a
     6000-epoch schedule. A `_resume` checkpoint from the last healthy val
@@ -154,14 +165,17 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     state = put_replicated(state, run.mesh_plan)
     logging.info(f"= Model params: {param_count(state.params):,}")
 
-    epoch_fn = make_classifier_epoch_fn(
-        run.model,
-        run.augmenter,
-        n_items=len(run.train_loader.dataset),
-        batch_size=run.train_loader.batch_size,
-        fixed_aug=fixed_aug,
-        mesh_plan=run.mesh_plan,
-    )
+    def _make_fn(k):
+        return make_classifier_epoch_fn(
+            run.model,
+            run.augmenter,
+            n_items=len(run.train_loader.dataset),
+            batch_size=run.train_loader.batch_size,
+            fixed_aug=fixed_aug,
+            mesh_plan=run.mesh_plan,
+            epochs_per_call=k,
+        )
+
     fwd_class = ev.make_batched_forward(run.model, run.augmenter, "class", run.mesh_plan)
 
     best_path, latest_path = checkpoint_paths(args)
@@ -179,18 +193,31 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     step_rng = jax.random.key(args.seed + 1)
     data, labels = run.device_data["train"], run.device_labels["train"]
 
+    # one device call per val block when the run is long enough to amortise
+    # the extra compile (per-call dispatch latency dominates tiny epochs)
+    k = _block_size(args, val_epochs, train_epochs - start_epoch)
+    epoch_fns = {k: _make_fn(k)}
+    if k > 1:
+        epoch_fns[1] = _make_fn(1)
+
     start = time.time()
     block_t0, block_windows = time.time(), 0
-    for epoch in range(start_epoch, train_epochs):
-        if args.profile_dir and epoch == start_epoch + 1:
+    epoch = start_epoch
+    profiled = False
+    while epoch < train_epochs:
+        blk = k if (k > 1 and epoch + k <= train_epochs) else 1
+        if args.profile_dir and not profiled and epoch > start_epoch:
             jax.profiler.start_trace(args.profile_dir)
-        state, epoch_loss, _ = epoch_fn(state, data, labels, step_rng)
-        block_windows += epoch_fn.windows_per_epoch
-        if args.profile_dir and epoch == start_epoch + 1:
+        state, epoch_loss, _ = epoch_fns[blk](state, data, labels, step_rng)
+        block_windows += epoch_fns[blk].windows_per_epoch * blk
+        if args.profile_dir and not profiled and epoch > start_epoch:
             jax.block_until_ready(epoch_loss)
             jax.profiler.stop_trace()
+            profiled = True
             logging.info(f"= Profiler trace written to {args.profile_dir}")
-        if epoch % val_epochs == 0 or epoch == train_epochs - 1:
+        epoch += blk
+        if blk > 1 or (epoch - 1) % val_epochs == 0 or epoch == train_epochs:
+            epoch_label = epoch - 1
             train_loss = float(jax.device_get(epoch_loss))
             val_loss, val_metrics = ev.eval_supervised(
                 args, state, fwd_class, run.eval_plan("val"), run.device_data["val"]
@@ -198,16 +225,16 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
             test_loss, test_metrics = ev.eval_supervised(
                 args, state, fwd_class, run.eval_plan("test"), run.device_data["test"]
             )
-            _nan_guard(train_loss, stage_name, epoch)
+            _nan_guard(train_loss, stage_name, epoch_label)
             dt = time.time() - block_t0
             logging.info(
-                f"[{stage_name}] epoch {epoch}: train loss {train_loss:.5f} "
+                f"[{stage_name}] epoch {epoch_label}: train loss {train_loss:.5f} "
                 f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
             )
-            ev.log_val_test(stage_name, epoch, val_loss, val_metrics, test_loss, test_metrics)
+            ev.log_val_test(stage_name, epoch_label, val_loss, val_metrics, test_loss, test_metrics)
             ckpt.save_state(latest_path, state)
             ckpt.save_state(
-                resume_path, state, extra={"epoch": np.asarray(epoch), "best": np.asarray(best_val_acc)}
+                resume_path, state, extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_acc)}
             )
             if val_metrics[0] > best_val_acc:
                 best_val_acc = val_metrics[0]
@@ -238,16 +265,18 @@ def pretrain(args):
 
     focal_loss = make_focal_loss(args)
     train_ds = run.train_loader.dataset
-    epoch_fn = make_pretrain_epoch_fn(
-        run.model,
-        run.augmenter,
-        focal_loss,
-        n_items=train_ds.num_subseqs,
-        batch_size=run.train_loader.batch_size,
-        subseq_idx=train_ds.subseq_idx,
-        mesh_plan=run.mesh_plan,
-        fused_views=not getattr(args, "no_fused_views", False),
-    )
+    def _make_fn(k):
+        return make_pretrain_epoch_fn(
+            run.model,
+            run.augmenter,
+            focal_loss,
+            n_items=train_ds.num_subseqs,
+            batch_size=run.train_loader.batch_size,
+            subseq_idx=train_ds.subseq_idx,
+            mesh_plan=run.mesh_plan,
+            fused_views=not getattr(args, "no_fused_views", False),
+            epochs_per_call=k,
+        )
     loss_fn = ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan)
     fwd_feat = ev.make_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan)
     knn_plan = run.eval_plan("train")
@@ -268,41 +297,52 @@ def pretrain(args):
     eval_rng = jax.random.key(args.seed + 2)
     data = run.device_data["train"]
 
+    k = _block_size(args, val_epochs, train_epochs - start_epoch)
+    epoch_fns = {k: _make_fn(k)}
+    if k > 1:
+        epoch_fns[1] = _make_fn(1)
+
     start = time.time()
     block_t0, block_windows = time.time(), 0
-    for epoch in range(start_epoch, train_epochs):
-        if args.profile_dir and epoch == start_epoch + 1:
+    epoch = start_epoch
+    profiled = False
+    while epoch < train_epochs:
+        blk = k if (k > 1 and epoch + k <= train_epochs) else 1
+        if args.profile_dir and not profiled and epoch > start_epoch:
             jax.profiler.start_trace(args.profile_dir)
-        state, epoch_loss = epoch_fn(state, data, step_rng)
-        block_windows += epoch_fn.windows_per_epoch
-        if args.profile_dir and epoch == start_epoch + 1:
+        state, epoch_loss = epoch_fns[blk](state, data, step_rng)
+        block_windows += epoch_fns[blk].windows_per_epoch * blk
+        if args.profile_dir and not profiled and epoch > start_epoch:
             jax.block_until_ready(epoch_loss)
             jax.profiler.stop_trace()
+            profiled = True
             logging.info(f"= Profiler trace written to {args.profile_dir}")
-        if epoch % val_epochs == 0 or epoch == train_epochs - 1:
+        epoch += blk
+        if blk > 1 or (epoch - 1) % val_epochs == 0 or epoch == train_epochs:
+            epoch_label = epoch - 1
             train_loss = float(jax.device_get(epoch_loss))
             estimator = ev.compute_knn(
                 state, fwd_feat, knn_plan, data, backend=getattr(args, "knn_backend", "sklearn")
             )
             val_loss, val_metrics = ev.eval_pretrained(
                 args, state, fwd_feat, loss_fn, estimator,
-                run.eval_plan("val"), run.device_data["val"], jax.random.fold_in(eval_rng, epoch),
+                run.eval_plan("val"), run.device_data["val"], jax.random.fold_in(eval_rng, epoch_label),
             )
             test_loss, test_metrics = ev.eval_pretrained(
                 args, state, fwd_feat, loss_fn, estimator,
-                run.eval_plan("test"), run.device_data["test"], jax.random.fold_in(eval_rng, epoch + 1),
+                run.eval_plan("test"), run.device_data["test"], jax.random.fold_in(eval_rng, epoch_label + 1),
             )
-            _nan_guard(train_loss, "pretrain", epoch)
+            _nan_guard(train_loss, "pretrain", epoch_label)
             dt = time.time() - block_t0
             logging.info(
-                f"[pretrain] epoch {epoch}: train loss {train_loss:.5f} "
+                f"[pretrain] epoch {epoch_label}: train loss {train_loss:.5f} "
                 f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
             )
-            ev.log_val_test("pretrain", epoch, val_loss, val_metrics, test_loss, test_metrics)
+            ev.log_val_test("pretrain", epoch_label, val_loss, val_metrics, test_loss, test_metrics)
             # backbone-only saves (reference: pretrain.py:94-100)
             ckpt.save_params(latest_path, state.params, state.batch_stats)
             ckpt.save_state(
-                resume_path, state, extra={"epoch": np.asarray(epoch), "best": np.asarray(best_val_loss)}
+                resume_path, state, extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_loss)}
             )
             if val_loss < best_val_loss:
                 best_val_loss = val_loss

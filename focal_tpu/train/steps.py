@@ -125,17 +125,19 @@ def _shard_batch(batch, mesh_plan):
 
 
 def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
-                           subseq_idx=None, mesh_plan=None, fused_views=True):
-    """One jitted call per EPOCH: on-device shuffle + lax.scan over steps.
+                           subseq_idx=None, mesh_plan=None, fused_views=True,
+                           epochs_per_call=1):
+    """One jitted call per `epochs_per_call` EPOCHS: on-device shuffles + a
+    nested lax.scan over (epochs, steps).
 
-    Eliminates per-step host->device index transfers and dispatch latency —
-    on a tunneled TPU that overhead dwarfs the 0.9 ms step itself. Shapes are
-    static: steps_per_epoch = n_items // per (ragged tail dropped, matching
-    the per-step loader). For sequence batching, pass subseq_idx
+    Eliminates per-step host->device index transfers and per-call dispatch
+    latency — on a tunneled TPU that overhead dwarfs the 0.9 ms step itself.
+    Shapes are static: steps_per_epoch = n_items // per (ragged tail dropped,
+    matching the per-step loader). For sequence batching, pass subseq_idx
     [n_subseq, seq_len]; n_items then counts subsequences and batch_size is
     given in samples.
 
-    Returns epoch_fn(state, data, epoch_rng) -> (state, mean_loss).
+    Returns run(state, data, rng) -> (state, mean_loss over the block).
     """
     if subseq_idx is not None:
         seq_len = subseq_idx.shape[1]
@@ -144,7 +146,7 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         per = batch_size
     steps_per_epoch = max(1, n_items // per)
 
-    def epoch_fn(state, data, subseq_rows, rng):
+    def one_epoch(state, data, subseq_rows, rng):
         # epoch index derives from the optimizer step counter: no per-call
         # host scalar crosses the tunnel
         epoch = state.step // steps_per_epoch
@@ -194,6 +196,16 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         state, losses = jax.lax.scan(body, state, jnp.arange(steps_per_epoch))
         return state, jnp.mean(losses)
 
+    def epoch_fn(state, data, subseq_rows, rng):
+        if epochs_per_call == 1:
+            return one_epoch(state, data, subseq_rows, rng)
+
+        def outer(state, _):
+            return one_epoch(state, data, subseq_rows, rng)
+
+        state, losses = jax.lax.scan(outer, state, jnp.arange(epochs_per_call))
+        return state, jnp.mean(losses)
+
     if mesh_plan is None:
         jitted = jax.jit(epoch_fn, donate_argnums=(0,))
     else:
@@ -217,17 +229,20 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         return jitted(state, data, rows, rng_cache[id(rng)][1])
 
     run.steps_per_epoch = steps_per_epoch
+    run.epochs_per_call = epochs_per_call
     run.windows_per_epoch = steps_per_epoch * per * (subseq_idx.shape[1] if subseq_idx is not None else 1)
     return run
 
 
-def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=True, mesh_plan=None):
+def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=True, mesh_plan=None,
+                             epochs_per_call=1):
     """Epoch-scan for supervised/finetune training (fixed_aug=False -> no-aug
-    pipeline, i.e. finetune). Returns epoch_fn(state, data, labels, rng)."""
+    pipeline, i.e. finetune). Returns run(state, data, labels, rng); with
+    epochs_per_call > 1 each call advances that many epochs (nested scan)."""
     per = min(batch_size, n_items)
     steps_per_epoch = max(1, n_items // per)
 
-    def epoch_fn(state, data, labels, rng):
+    def one_epoch(state, data, labels, rng):
         epoch = state.step // steps_per_epoch
         perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
         perm = jax.random.permutation(perm_rng, n_items)
@@ -257,6 +272,17 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
         state, (losses, accs) = jax.lax.scan(body, state, jnp.arange(steps_per_epoch))
         return state, jnp.mean(losses), jnp.mean(accs)
 
+    def epoch_fn(state, data, labels, rng):
+        if epochs_per_call == 1:
+            return one_epoch(state, data, labels, rng)
+
+        def outer(state, _):
+            st, loss, acc = one_epoch(state, data, labels, rng)
+            return st, (loss, acc)
+
+        state, (losses, accs) = jax.lax.scan(outer, state, jnp.arange(epochs_per_call))
+        return state, jnp.mean(losses), jnp.mean(accs)
+
     if mesh_plan is None:
         jitted = jax.jit(epoch_fn, donate_argnums=(0,))
     else:
@@ -275,6 +301,7 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
         return jitted(state, data, labels, rng_cache[id(rng)][1])
 
     run.steps_per_epoch = steps_per_epoch
+    run.epochs_per_call = epochs_per_call
     run.windows_per_epoch = steps_per_epoch * per
     return run
 

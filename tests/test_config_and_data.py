@@ -48,6 +48,16 @@ def test_partition_subsequences():
     assert sub[2].tolist() == [6, 7, 8, 8]
 
 
+def test_partition_subsequences_dash_delimiter():
+    """RealWorld_HAR file names use '-' (reference: multi_modal_dataset.py:74-78)."""
+    names = [f"sub1-walking-{i}.npz" for i in range(5)] + [f"sub2-running-{i}.npz" for i in range(2)]
+    sub = partition_subsequences(names, seq_len=4, delimiter="-")
+    assert sub.shape == (3, 4)
+    assert sub[0].tolist() == [0, 1, 2, 3]
+    assert sub[1].tolist() == [4, 4, 4, 4]  # lone tail sample repeat-padded
+    assert sub[2].tolist() == [5, 6, 6, 6]
+
+
 def test_synthetic_shapes(mod_config):
     ds = make_synthetic_dataset(mod_config, "vehicle_classification", 32, seq_len=4)
     assert ds.data["shake"]["audio"].shape == (32, 1, 10, 1600)
