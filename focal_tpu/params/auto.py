@@ -59,6 +59,16 @@ def set_auto_params(args):
     args.train_mode = get_train_mode(args.learn_framework)
     args = set_batch_size(args)
 
+    # compute dtype: bf16 is the TPU-native default (MXU), f32 elsewhere
+    if getattr(args, "compute_dtype", None) is None:
+        try:
+            import jax
+
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        args.compute_dtype = "bfloat16" if backend in ("tpu", "axon") else "float32"
+
     # experiment folders + logging
     args = set_model_weight_folder(args)
     args = set_model_weight_file(args)

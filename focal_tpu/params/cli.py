@@ -46,9 +46,10 @@ def build_parser():
     parser.add_argument(
         "-compute_dtype",
         type=str,
-        default="float32",
+        default=None,
         choices=["float32", "bfloat16"],
-        help="Activation/matmul dtype on device (params always float32).",
+        help="Activation/matmul dtype on device (params always float32). "
+        "Default: bfloat16 on TPU (8-20x faster per step), float32 elsewhere.",
     )
     parser.add_argument(
         "-epochs", type=int, default=None, help="Override the number of training epochs from the recipe."
