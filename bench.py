@@ -93,20 +93,22 @@ def bench_jax():
         idx_host = jax.device_put(idx_host, mesh_plan.batch_sharded)
     rng = jax.random.key(1)
 
-    # warmup / compile
+    # warmup / compile; sync via a VALUE fetch — on this machine's experimental
+    # backend block_until_ready can return before execution finishes, which
+    # silently inflates throughput numbers
     for _ in range(3):
         state, metrics = step(state, data, idx_host, rng)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     phase("step compile + warmup")
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, data, idx_host, rng)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     windows_per_sec = BATCH * STEPS / dt
-    return windows_per_sec / n_chips, n_chips, float(jax.device_get(metrics["loss"]))
+    return windows_per_sec / n_chips, n_chips, final_loss
 
 
 def bench_torch_baseline():
