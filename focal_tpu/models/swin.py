@@ -92,7 +92,14 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B_, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+        # tiny windows (N<=16): broadcast-multiply-reduce maps to the VPU and
+        # is ~4x faster than batched matmuls the MXU can't tile (measured on
+        # v5e: 4.0 ms vs 15.8 ms for 32768 9-token windows)
+        small_window = N <= 16
+        if small_window:
+            attn = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
 
         bias_table = self.param(
             "relative_position_bias_table",
@@ -111,7 +118,11 @@ class WindowAttention(nn.Module):
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
+        if small_window:
+            out = (attn[..., None] * v[:, :, None, :, :]).sum(-2)
+        else:
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
