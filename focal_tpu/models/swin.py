@@ -92,14 +92,11 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B_, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        # tiny windows (N<=16): broadcast-multiply-reduce maps to the VPU and
-        # is ~4x faster than batched matmuls the MXU can't tile (measured on
-        # v5e: 4.0 ms vs 15.8 ms for 32768 9-token windows)
+        # tiny windows (N<=16): the MXU can't tile 9x9x16 batched matmuls;
+        # attention runs either as a fused pallas VMEM kernel or, when
+        # in-kernel limits apply, as a VPU broadcast-multiply-reduce
+        # (measured on v5e: 4.0 ms vs 15.8 ms for 32768 9-token windows)
         small_window = N <= 16
-        if small_window:
-            attn = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32)
-        else:
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
 
         bias_table = self.param(
             "relative_position_bias_table",
@@ -108,6 +105,42 @@ class WindowAttention(nn.Module):
         )
         rel_index = relative_position_index(wh, ww).reshape(-1)
         bias = bias_table[rel_index].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+
+        # fused pallas path: one VMEM pass for scores+softmax+weighted sum.
+        # Training dropout uses the in-kernel TPU PRNG (no interpreter
+        # support, so only on TPU backends); eval runs the no-dropout kernel
+        # everywhere (interpreter fallback on CPU).
+        dropout_active = train and self.attn_drop > 0.0
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        use_fused = small_window and (not dropout_active or on_tpu)
+        if use_fused:
+            from focal_tpu.ops.pallas_kernels import (
+                fused_window_attention,
+                fused_window_attention_dropout,
+            )
+
+            bias_b = jnp.broadcast_to(
+                bias[None].astype(jnp.float32), (B_, self.num_heads, N, N)
+            )
+            if mask is not None:
+                nW = mask.shape[0]
+                tiled = jnp.tile(jnp.asarray(mask), (B_ // nW, 1, 1))  # [B_, N, N]
+                bias_b = bias_b + tiled[:, None]
+            if dropout_active:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+                out = fused_window_attention_dropout(q, k, v, bias_b, seed, float(self.attn_drop))
+            else:
+                out = fused_window_attention(q, k, v, bias_b)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+        if small_window:
+            attn = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
         attn = attn + bias[None].astype(jnp.float32)
 
         if mask is not None:
