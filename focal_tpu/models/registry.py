@@ -22,12 +22,20 @@ def build_backbone(args):
             dtype=dtype,
         )
     if args.model == "SW_Transformer":
+        import jax
+
         from focal_tpu.models.sw_transformer import SWTransformer
 
+        # fused pallas attention: TPU only (interpreter is slower than XLA on
+        # CPU) and single-device meshes only (Mosaic kernels cannot be
+        # auto-partitioned under a multi-chip jit)
+        n_mesh = args.data_parallel if getattr(args, "data_parallel", 0) > 0 else len(jax.devices())
+        on_tpu = jax.default_backend() in ("tpu", "axon")
         return SWTransformer(
             dataset_config=args.dataset_config,
             task=args.task,
             linear_class_head=linear_head,
             dtype=dtype,
+            use_pallas=on_tpu and n_mesh <= 1,
         )
     raise ValueError(f"Invalid model provided: {args.model}")

@@ -43,6 +43,7 @@ class SWTransformer(nn.Module):
     task: str
     linear_class_head: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         cfgs = self.dataset_config
@@ -101,6 +102,7 @@ class SWTransformer(nn.Module):
                             drop_path=tuple(dpr[sum(block_num[:i_layer]) : sum(block_num[: i_layer + 1])]),
                             downsample=i_layer < len(block_num) - 1,
                             dtype=self.dtype,
+                            use_pallas=self.use_pallas,
                             name=f"stage{i_layer}_{loc}_{mod}",
                         )
                     )

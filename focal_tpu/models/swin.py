@@ -72,7 +72,13 @@ def shifted_window_mask(H, W, wh, ww, sh, sw):
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with relative position bias (reference: SwinModules.py:73-152)."""
+    """W-MSA with relative position bias (reference: SwinModules.py:73-152).
+
+    use_pallas enables the fused VMEM kernel. It must be off when the module
+    is jitted over a >1-device mesh (Mosaic kernels cannot be auto-partitioned
+    — they'd need a shard_map wrap) and off on CPU (interpreter mode is ~20x
+    slower than the XLA path); the builder decides.
+    """
 
     dim: int
     window_size: Sequence[int]  # (wh, ww)
@@ -81,6 +87,7 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
@@ -107,12 +114,9 @@ class WindowAttention(nn.Module):
         bias = bias_table[rel_index].reshape(N, N, self.num_heads).transpose(2, 0, 1)
 
         # fused pallas path: one VMEM pass for scores+softmax+weighted sum.
-        # Training dropout uses the in-kernel TPU PRNG (no interpreter
-        # support, so only on TPU backends); eval runs the no-dropout kernel
-        # everywhere (interpreter fallback on CPU).
+        # Training dropout uses the in-kernel TPU PRNG.
         dropout_active = train and self.attn_drop > 0.0
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        use_fused = small_window and (not dropout_active or on_tpu)
+        use_fused = small_window and self.use_pallas
         if use_fused:
             from focal_tpu.ops.pallas_kernels import (
                 fused_window_attention,
@@ -208,6 +212,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -232,7 +237,8 @@ class SwinBlock(nn.Module):
         windows = window_partition(x, wh, ww)
         attn_out = WindowAttention(
             self.dim, (wh, ww), self.num_heads, self.qkv_bias,
-            self.attn_drop, self.drop, dtype=self.dtype, name="attn",
+            self.attn_drop, self.drop, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn",
         )(windows, mask, train)
         x = window_reverse(attn_out, wh, ww, H, W)
         if shifted:
@@ -282,6 +288,7 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = (0.0,)
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -304,6 +311,7 @@ class BasicLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=dp,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"block{i}",
             )(x, train)
         if self.downsample:

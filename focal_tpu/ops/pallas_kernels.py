@@ -54,11 +54,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
     out_ref[0] = _weighted_sum(attn, v).astype(out_ref.dtype)
 
 
-def _pallas_forward(qt, kt, vt, bias_t):
+def _pallas_forward(qt, kt, vt, bias_t, tile):
     """qt/kt/vt: [H, N, D, B], bias_t: [H, N, N, B] -> [H, N, D, B]."""
     H, N, D, B = qt.shape
     interpret = jax.default_backend() not in ("tpu", "axon")
-    tile = LANE_TILE if B >= LANE_TILE else B
     grid = (H, B // tile)
 
     def idx(h, b):
@@ -86,19 +85,23 @@ def _xla_attention(q, k, v, bias_b):
     return (attn[..., None] * v[:, :, None, :, :]).sum(-2)
 
 
-def _impl(q, k, v, bias_b):
-    B, H, N, D = q.shape
-    tile = LANE_TILE if B >= LANE_TILE else 128
+def _prepare(q, k, v, bias_b):
+    """Pad the window-batch to the lane tile and move it to the lane axis:
+    [B, H, N, D] -> [H, N, D, Bp]. Returns (qt, kt, vt, bias_t, B, tile)."""
+    B = q.shape[0]
+    tile = LANE_TILE if B >= LANE_TILE else max(128, ((B + 127) // 128) * 128)
     pad = (-B) % tile
     if pad:
         q, k, v = (jnp.pad(a, ((0, pad), (0, 0), (0, 0), (0, 0))) for a in (q, k, v))
         bias_b = jnp.pad(bias_b, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    # [B, H, N, D] -> [H, N, D, B]
     qt, kt, vt = (a.transpose(1, 2, 3, 0) for a in (q, k, v))
-    bias_t = bias_b.transpose(1, 2, 3, 0)
-    out_t = _pallas_forward(qt, kt, vt, bias_t)
-    out = out_t.transpose(3, 0, 1, 2)
-    return out[:B] if pad else out
+    return qt, kt, vt, bias_b.transpose(1, 2, 3, 0), B, tile
+
+
+def _impl(q, k, v, bias_b):
+    qt, kt, vt, bias_t, B, tile = _prepare(q, k, v, bias_b)
+    out_t = _pallas_forward(qt, kt, vt, bias_t, tile)
+    return out_t.transpose(3, 0, 1, 2)[:B]
 
 
 @jax.custom_vjp
@@ -159,9 +162,8 @@ def _attn_dropout_kernel(rate, seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
     attn_ref[0] = attn
 
 
-def _pallas_forward_dropout(qt, kt, vt, bias_t, seed, rate):
+def _pallas_forward_dropout(qt, kt, vt, bias_t, seed, rate, tile):
     H, N, D, B = qt.shape
-    tile = LANE_TILE if B >= LANE_TILE else B
     grid = (H, B // tile)
 
     def idx(h, b):
@@ -193,20 +195,9 @@ def _pallas_forward_dropout(qt, kt, vt, bias_t, seed, rate):
 
 
 def _impl_dropout(q, k, v, bias_b, seed, rate):
-    B, H, N, D = q.shape
-    tile = LANE_TILE if B >= LANE_TILE else 128
-    pad = (-B) % tile
-    if pad:
-        q, k, v = (jnp.pad(a, ((0, pad), (0, 0), (0, 0), (0, 0))) for a in (q, k, v))
-        bias_b = jnp.pad(bias_b, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    qt, kt, vt = (a.transpose(1, 2, 3, 0) for a in (q, k, v))
-    bias_t = bias_b.transpose(1, 2, 3, 0)
-    out_t, attn_t = _pallas_forward_dropout(qt, kt, vt, bias_t, seed.reshape(1), rate)
-    out = out_t.transpose(3, 0, 1, 2)
-    attn = attn_t.transpose(3, 0, 1, 2)
-    if pad:
-        out, attn = out[:B], attn[:B]
-    return out, attn
+    qt, kt, vt, bias_t, B, tile = _prepare(q, k, v, bias_b)
+    out_t, attn_t = _pallas_forward_dropout(qt, kt, vt, bias_t, seed.reshape(1), rate, tile)
+    return out_t.transpose(3, 0, 1, 2)[:B], attn_t.transpose(3, 0, 1, 2)[:B]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

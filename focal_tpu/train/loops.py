@@ -99,14 +99,25 @@ def _epoch_rng(args):
 
 
 def _block_size(args, val_epochs, remaining_epochs):
-    """Epochs per device call: a whole val block when the run is long enough
-    to pay for the second compiled variant; -epochs_per_call overrides."""
+    """Max epochs per device call: a whole val block when the run is long
+    enough to pay for the second compiled variant; -epochs_per_call
+    overrides. Actual per-iteration block sizes never cross a validation
+    boundary (see _next_block)."""
     override = getattr(args, "epochs_per_call", 0) or 0
     if override:
         return max(1, min(override, val_epochs))
     if val_epochs > 1 and remaining_epochs >= 5 * val_epochs:
         return val_epochs
     return 1
+
+
+def _next_block(epoch, k, val_epochs, train_epochs):
+    """Epochs to run before the next stop point, preserving the reference's
+    validation cadence (after epochs 0, val_epochs, 2*val_epochs, ...)."""
+    # the next epoch label requiring validation: smallest l >= epoch with
+    # l % val_epochs == 0
+    next_val = epoch if epoch % val_epochs == 0 else epoch + (val_epochs - epoch % val_epochs)
+    return max(1, min(k, next_val + 1 - epoch, train_epochs - epoch))
 
 
 def _nan_guard(train_loss, stage, epoch):
@@ -194,29 +205,35 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     data, labels = run.device_data["train"], run.device_labels["train"]
 
     # one device call per val block when the run is long enough to amortise
-    # the extra compile (per-call dispatch latency dominates tiny epochs)
+    # the extra compile (per-call dispatch latency dominates tiny epochs);
+    # block sizes never cross a validation boundary, so the reference's val
+    # cadence (epochs 0, val_epochs, 2*val_epochs, ...) is preserved
     k = _block_size(args, val_epochs, train_epochs - start_epoch)
-    epoch_fns = {k: _make_fn(k)}
-    if k > 1:
-        epoch_fns[1] = _make_fn(1)
+    epoch_fns = {}
 
     start = time.time()
     block_t0, block_windows = time.time(), 0
     epoch = start_epoch
     profiled = False
     while epoch < train_epochs:
-        blk = k if (k > 1 and epoch + k <= train_epochs) else 1
-        if args.profile_dir and not profiled and epoch > start_epoch:
+        blk = _next_block(epoch, k, val_epochs, train_epochs)
+        if blk not in epoch_fns:
+            epoch_fns[blk] = _make_fn(blk)
+        profile_now = args.profile_dir and not profiled and epoch > start_epoch
+        if profile_now:
+            blk = 1  # trace a single epoch, not a whole block
+            if blk not in epoch_fns:
+                epoch_fns[blk] = _make_fn(blk)
             jax.profiler.start_trace(args.profile_dir)
         state, epoch_loss, _ = epoch_fns[blk](state, data, labels, step_rng)
         block_windows += epoch_fns[blk].windows_per_epoch * blk
-        if args.profile_dir and not profiled and epoch > start_epoch:
+        if profile_now:
             jax.block_until_ready(epoch_loss)
             jax.profiler.stop_trace()
             profiled = True
             logging.info(f"= Profiler trace written to {args.profile_dir}")
         epoch += blk
-        if blk > 1 or (epoch - 1) % val_epochs == 0 or epoch == train_epochs:
+        if (epoch - 1) % val_epochs == 0 or epoch == train_epochs:
             epoch_label = epoch - 1
             train_loss = float(jax.device_get(epoch_loss))
             val_loss, val_metrics = ev.eval_supervised(
@@ -298,27 +315,31 @@ def pretrain(args):
     data = run.device_data["train"]
 
     k = _block_size(args, val_epochs, train_epochs - start_epoch)
-    epoch_fns = {k: _make_fn(k)}
-    if k > 1:
-        epoch_fns[1] = _make_fn(1)
+    epoch_fns = {}
 
     start = time.time()
     block_t0, block_windows = time.time(), 0
     epoch = start_epoch
     profiled = False
     while epoch < train_epochs:
-        blk = k if (k > 1 and epoch + k <= train_epochs) else 1
-        if args.profile_dir and not profiled and epoch > start_epoch:
+        blk = _next_block(epoch, k, val_epochs, train_epochs)
+        if blk not in epoch_fns:
+            epoch_fns[blk] = _make_fn(blk)
+        profile_now = args.profile_dir and not profiled and epoch > start_epoch
+        if profile_now:
+            blk = 1  # trace a single epoch, not a whole block
+            if blk not in epoch_fns:
+                epoch_fns[blk] = _make_fn(blk)
             jax.profiler.start_trace(args.profile_dir)
         state, epoch_loss = epoch_fns[blk](state, data, step_rng)
         block_windows += epoch_fns[blk].windows_per_epoch * blk
-        if args.profile_dir and not profiled and epoch > start_epoch:
+        if profile_now:
             jax.block_until_ready(epoch_loss)
             jax.profiler.stop_trace()
             profiled = True
             logging.info(f"= Profiler trace written to {args.profile_dir}")
         epoch += blk
-        if blk > 1 or (epoch - 1) % val_epochs == 0 or epoch == train_epochs:
+        if (epoch - 1) % val_epochs == 0 or epoch == train_epochs:
             epoch_label = epoch - 1
             train_loss = float(jax.device_get(epoch_loss))
             estimator = ev.compute_knn(

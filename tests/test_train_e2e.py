@@ -76,6 +76,33 @@ def test_pretrain_then_finetune(workdir, make_args):
     assert any(deltas[k] > 0.0 for k in trained)
 
 
+def test_blocked_epochs_match_cadence(workdir, make_args):
+    """-epochs_per_call runs multi-epoch device calls but must preserve the
+    validation cadence (after epochs 0, val_epochs, 2*val_epochs, ...)."""
+    import logging
+
+    from focal_tpu.train.loops import supervised_train
+
+    args = make_args(
+        argv=_argv(["-model", "DeepSense", "-learn_framework", "no", "-epochs", "7",
+                    "-val_epochs", "3", "-epochs_per_call", "3"]),
+        output_dir=workdir,
+    )
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    logging.getLogger().addHandler(handler)
+    try:
+        state, best = supervised_train(args)
+    finally:
+        logging.getLogger().removeHandler(handler)
+    val_labels = [int(m.split("epoch ")[1].split(":")[0]) for m in records if "train loss" in m]
+    assert val_labels == [0, 3, 6]  # same labels as the 1-epoch path
+    # 7 epochs x 2 steps happened regardless of blocking
+    assert int(state.step) == 7 * 2
+    assert np.isfinite(best)
+
+
 def test_test_cli_roundtrip(workdir, make_args, monkeypatch):
     """test.py surface: reload the supervised best checkpoint and evaluate."""
     import test as test_cli
