@@ -112,21 +112,136 @@ def bench_jax():
 
 
 def bench_torch_baseline():
-    """Equivalent pretrain step in PyTorch (CPU) for the vs_baseline ratio."""
+    """Equivalent pretrain step in PyTorch (CPU) for the vs_baseline ratio,
+    matched to BENCH_MODEL and cached per model."""
+    model = os.environ.get("BENCH_MODEL", "DeepSense")
+    key = f"torch_windows_per_sec_{model.lower()}"
+    cached = {}
     if os.path.exists(CACHE):
         try:
             with open(CACHE) as f:
-                return json.load(f)["torch_windows_per_sec"]
+                cached = json.load(f)
+            # legacy single-key cache was the DeepSense number
+            if "torch_windows_per_sec" in cached and "torch_windows_per_sec_deepsense" not in cached:
+                cached["torch_windows_per_sec_deepsense"] = cached.pop("torch_windows_per_sec")
+            if key in cached:
+                return cached[key]
         except Exception:
-            pass
+            cached = {}
     try:
-        value = _measure_torch()
+        value = _measure_torch_swin() if model == "SW_Transformer" else _measure_torch()
     except Exception as e:
         print(f"torch baseline unavailable: {e}", file=sys.stderr)
         return None
+    cached[key] = value
     with open(CACHE, "w") as f:
-        json.dump({"torch_windows_per_sec": value}, f)
+        json.dump(cached, f)
     return value
+
+
+def _measure_torch_swin(steps=2, batch=None):
+    """Torch counterpart of the SW_Transformer pretrain step (CPU): window
+    attention towers at the MOD geometry + contrastive loss."""
+    import torch
+    import torch.nn as nn
+
+    batch = batch or BATCH
+    torch.manual_seed(0)
+
+    class TorchWindowBlock(nn.Module):
+        def __init__(self, dim, res, heads=4, window=3, shift=0):
+            super().__init__()
+            self.dim, self.res, self.heads, self.window, self.shift = dim, res, heads, window, shift
+            self.norm1 = nn.LayerNorm(dim)
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.proj = nn.Linear(dim, dim)
+            self.norm2 = nn.LayerNorm(dim)
+            self.mlp = nn.Sequential(nn.Linear(dim, 4 * dim), nn.GELU(), nn.Linear(4 * dim, dim))
+            self.bias = nn.Parameter(torch.zeros(heads, window * window, window * window))
+
+        def forward(self, x):
+            H, W = self.res
+            B, L, C = x.shape
+            s = self.norm1(x).view(B, H, W, C)
+            if self.shift:
+                s = torch.roll(s, (-self.shift, -self.shift), (1, 2))
+            w = self.window
+            s = s.view(B, H // w, w, W // w, w, C).permute(0, 1, 3, 2, 4, 5).reshape(-1, w * w, C)
+            qkv = self.qkv(s).reshape(-1, w * w, 3, self.heads, C // self.heads).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * (C // self.heads) ** -0.5 + self.bias[None]
+            o = (attn.softmax(-1) @ v).transpose(1, 2).reshape(-1, w * w, C)
+            o = self.proj(o)
+            o = o.view(B, H // w, W // w, w, w, C).permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+            if self.shift:
+                o = torch.roll(o, (self.shift, self.shift), (1, 2))
+            x = x + o.reshape(B, L, C)
+            return x + self.mlp(self.norm2(x))
+
+    class TorchSwinTower(nn.Module):
+        def __init__(self, in_c, img, patch):
+            super().__init__()
+            self.embed = nn.Conv2d(in_c, 64, patch, stride=patch)
+            res = (img[0] // patch[0], img[1] // patch[1])
+            self.stages = nn.ModuleList()
+            self.merges = nn.ModuleList()
+            dims = [64, 128, 256]
+            depths = [2, 2, 4]
+            for i, (d, dep) in enumerate(zip(dims, depths)):
+                r = (res[0] >> i, res[1] >> i)
+                self.stages.append(
+                    nn.ModuleList(
+                        TorchWindowBlock(d, r, shift=(j % 2) * 1) for j in range(dep)
+                    )
+                )
+                if i < 2:
+                    self.merges.append(nn.Linear(4 * d, 2 * d))
+            self.res = res
+            self.head = nn.Sequential(nn.Linear(256 * (res[0] >> 2) * (res[1] >> 2), 256),
+                                      nn.ReLU(), nn.Linear(256, 256))
+
+        def forward(self, x):
+            x = self.embed(x).flatten(2).transpose(1, 2)
+            H, W = self.res
+            for i, stage in enumerate(self.stages):
+                for blk in stage:
+                    x = blk(x)
+                if i < 2:
+                    B, L, C = x.shape
+                    x = x.view(B, H, W, C)
+                    x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
+                    H, W = H // 2, W // 2
+                    x = self.merges[i](x.view(B, H * W, 4 * C))
+            return self.head(x.flatten(1))
+
+    audio = TorchSwinTower(2, (12, 1920), (1, 40))
+    seismic = TorchSwinTower(2, (12, 24), (1, 1))
+    params = list(audio.parameters()) + list(seismic.parameters())
+    opt = torch.optim.AdamW(params, lr=1e-3, weight_decay=0.05)
+
+    xa = torch.randn(batch, 2, 12, 1920)
+    xs = torch.randn(batch, 2, 12, 24)
+
+    def contrastive(f1, f2, temp=0.07):
+        z = torch.nn.functional.normalize(torch.cat([f1, f2], 0), dim=-1)
+        sim = z @ z.T / temp
+        n = f1.shape[0]
+        labels = torch.cat([torch.arange(n, 2 * n), torch.arange(0, n)])
+        sim.fill_diagonal_(-1e9)
+        return torch.nn.functional.cross_entropy(sim, labels)
+
+    def one_step():
+        opt.zero_grad()
+        loss = contrastive(audio(xa), audio(xa * 0.9)) + contrastive(seismic(xs), seismic(-xs))
+        loss.backward()
+        opt.step()
+
+    one_step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
 
 
 def _measure_torch(steps=3, batch=None):
