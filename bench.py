@@ -20,7 +20,9 @@ import sys
 import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# 50 steps ~ 350 ms of measured compute for DeepSense: enough signal that
+# run-to-run variance stays within a few percent
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
 
