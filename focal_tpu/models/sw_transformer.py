@@ -56,7 +56,7 @@ class SWTransformer(nn.Module):
 
         embed_dim = config["time_freq_out_channels"]
         patch_embeds, stage_lists, mod_in_layers = {}, {}, {}
-        geometries = {}
+        geometries, ape_params = {}, {}
         for loc in self.locations:
             for mod in self.modalities:
                 stride = config["in_stride"][mod]
@@ -81,6 +81,16 @@ class SWTransformer(nn.Module):
                     dtype=self.dtype,
                     name=f"patch_embed_{loc}_{mod}",
                 )
+
+                # absolute position embedding, added post-patch-embed when the
+                # recipe sets APE: True (reference: SW_Transformer.py:76-79,
+                # 223-224 — trunc_normal(0.02) init over [1, num_patches, C])
+                if config.get("APE", False):
+                    ape_params[f"{loc}_{mod}"] = self.param(
+                        f"absolute_pos_embed_{loc}_{mod}",
+                        nn.initializers.truncated_normal(0.02),
+                        (1, patches_res[0] * patches_res[1], embed_dim),
+                    )
 
                 # stochastic depth decay across all blocks (SW_Transformer.py:85-90)
                 total_blocks = sum(block_num)
@@ -120,6 +130,7 @@ class SWTransformer(nn.Module):
         self.stage_lists = stage_lists
         self.mod_in_layers = mod_in_layers
         self.geometries = geometries
+        self.ape_params = ape_params
 
         if self.multi_location:
             # per-mod location context + fusion (SW_Transformer.py:126-150)
@@ -186,6 +197,8 @@ class SWTransformer(nn.Module):
                 x = freq_x[loc][mod].astype(self.dtype)
                 x = self.pad_input(x, loc, mod)
                 x = self.patch_embeds[f"{loc}_{mod}"](x)
+                if f"{loc}_{mod}" in self.ape_params:
+                    x = x + self.ape_params[f"{loc}_{mod}"].astype(self.dtype)
                 for stage in self.stage_lists[f"{loc}_{mod}"]:
                     x = stage(x, train)
                 b = x.shape[0]

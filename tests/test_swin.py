@@ -159,3 +159,46 @@ def test_swin_grad_flow(tiny_swin):
     # every stage receives gradient (no dead branches)
     total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves)
     assert total > 0
+
+
+def test_swin_ape(mod_tiny_config):
+    """APE: True creates absolute_pos_embed params per (loc, mod), adds them
+    post-patch-embed (output changes), and gradient flows; APE: False must
+    create no such param (reference: SW_Transformer.py:76-79,223-224)."""
+    import copy
+
+    cfg = copy.deepcopy(dict(mod_tiny_config))
+    cfg["SW_Transformer"] = dict(cfg["SW_Transformer"])
+    cfg["SW_Transformer"]["APE"] = True
+    model = SWTransformer(dataset_config=cfg, task="vehicle_classification", linear_class_head=True)
+    x = {
+        "shake": {
+            "audio": jnp.asarray(np.random.default_rng(4).normal(size=(2, 2, 10, 96)), jnp.float32),
+            "seismic": jnp.asarray(np.random.default_rng(5).normal(size=(2, 2, 10, 20)), jnp.float32),
+        }
+    }
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    ape_names = [k for k in variables["params"] if k.startswith("absolute_pos_embed_")]
+    assert sorted(ape_names) == ["absolute_pos_embed_shake_audio", "absolute_pos_embed_shake_seismic"]
+
+    # zeroing the APE param changes the output -> it is really added
+    out = model.apply(variables, x, train=False, head="class")
+    zeroed = dict(variables["params"])
+    for n in ape_names:
+        zeroed[n] = jnp.zeros_like(zeroed[n])
+    out0 = model.apply({"params": zeroed}, x, train=False, head="class")
+    assert not np.allclose(np.asarray(out), np.asarray(out0))
+
+    def loss(params):
+        return jnp.mean(model.apply({"params": params}, x, train=False, head="class") ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    for n in ape_names:
+        assert float(np.abs(np.asarray(g[n])).sum()) > 0
+
+    # APE: False -> no param
+    model_off = SWTransformer(
+        dataset_config=mod_tiny_config, task="vehicle_classification", linear_class_head=True
+    )
+    v_off = model_off.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    assert not any(k.startswith("absolute_pos_embed_") for k in v_off["params"])
