@@ -26,6 +26,7 @@ import re
 
 import numpy as np
 
+from focal_tpu.data.preprocess import mod_tables as mt
 from focal_tpu.data.preprocess.signal import extract_time_freq, resample, segment_recording
 
 SEGMENT_SPAN = 2
@@ -66,22 +67,32 @@ def parse_aux_labels(folder):
 
 def load_shake_csvs(shake_path, start_shift=0.0, end_shift=0.0):
     """Load one shake's audio + seismic CSVs, trim shifts, resample audio.
-    Returns {"audio": [t, 1], "seismic": [t, 1]} at FREQS rates."""
+    Returns {"audio": [t, 1], "seismic": [t, 1]} at FREQS rates.
+
+    Parity details (reference: extract_samples.py:254-279): audio is
+    comma-delimited, seismic SPACE-delimited; multi-column files keep only
+    column 0; the trim is applied to the RAW signal (audio at 16 kHz, before
+    resampling), not the resampled one."""
     files = os.listdir(shake_path)
     audio_file = "aud16000.csv" if "aud16000.csv" in files else "aud.csv"
-    raw_audio = np.loadtxt(os.path.join(shake_path, audio_file), dtype=float, delimiter=",", ndmin=2)
-    raw_seismic = np.loadtxt(os.path.join(shake_path, "ehz.csv"), dtype=float, delimiter=",", ndmin=2)
+    raw_audio = np.loadtxt(os.path.join(shake_path, audio_file), dtype=float, delimiter=",")
+    if raw_audio.ndim > 1:
+        raw_audio = raw_audio[:, 0]
+    raw_audio = raw_audio[:, None]
+    raw_audio = raw_audio[int(16000 * start_shift) : len(raw_audio) - int(16000 * end_shift)]
+    if AUD_DOWNSAMPLE_RATE > 1:
+        audio = resample(raw_audio, 16000, FREQS["audio"])
+    else:
+        audio = raw_audio
 
-    audio = resample(raw_audio, 16000, FREQS["audio"])
-    seismic = raw_seismic  # already at 100 Hz
+    raw_seismic = np.loadtxt(os.path.join(shake_path, "ehz.csv"), dtype=float, delimiter=" ")
+    if raw_seismic.ndim > 1:
+        raw_seismic = raw_seismic[:, 0]
+    raw_seismic = raw_seismic[:, None]
+    f = FREQS["seismic"]
+    seismic = raw_seismic[int(f * start_shift) : len(raw_seismic) - int(f * end_shift)]
 
-    out = {}
-    for mod, arr in (("audio", audio), ("seismic", seismic)):
-        f = FREQS[mod]
-        start = int(start_shift * f)
-        end = len(arr) - int(end_shift * f)
-        out[mod] = arr[start:end].astype(np.float32)
-    return out
+    return {"audio": audio.astype(np.float32), "seismic": seismic.astype(np.float32)}
 
 
 def extract_samples_from_signals(signals, loc="shake"):
@@ -138,21 +149,63 @@ def process_shake(run_folder, shake, input_path, output_dir, start_shift=0.0, en
     return paths
 
 
-def process_dataset(input_path, output_dir, shifts=None, save_freq=False, workers=0):
-    """Walk {run}/{shake}/ folders and extract every recording.
-    shifts: optional {run: {shake: (start_s, end_s)}} trim table
-    (reference: data_trunk.py)."""
-    shifts = shifts or {}
+def select_jobs(input_path, pretrain=False, use_allowlists="auto"):
+    """Folder/shake selection with the reference allowlists.
+
+    Labeled flow (reference: extract_samples.py:330-360): run folders in
+    PRESERVED_CLEAN_FOLDERS; folders in PRESERVED_CLEAN_FOLDERS_2 use only
+    their "rs1" sensor, others use sensors in SUBJECTS.
+    Pretrain flow (extract_pretrain_samples.py:153-165): the
+    PRESERVED_EXTRA_FOLDERS {run: [shakes]} table.
+
+    use_allowlists="auto" applies them only when at least one folder matches,
+    so fabricated test layouts still extract; True/False force.
+    Returns [(run_folder, shake)] sorted.
+    """
+    entries = sorted(
+        e for e in os.listdir(input_path) if os.path.isdir(os.path.join(input_path, e))
+    )
+    if use_allowlists == "auto":
+        table = mt.PRESERVED_EXTRA_FOLDERS if pretrain else mt.PRESERVED_CLEAN_FOLDERS
+        use_allowlists = any(e in table for e in entries)
+
     jobs = []
-    for run_folder in sorted(os.listdir(input_path)):
-        run_path = os.path.join(input_path, run_folder)
-        if not os.path.isdir(run_path):
+    if pretrain and use_allowlists:
+        for folder in entries:
+            if folder in mt.PRESERVED_EXTRA_FOLDERS:
+                for shake in mt.PRESERVED_EXTRA_FOLDERS[folder]:
+                    if os.path.isdir(os.path.join(input_path, folder, shake)):
+                        jobs.append((folder, shake))
+        return jobs
+    for folder in entries:
+        if use_allowlists and folder not in mt.PRESERVED_CLEAN_FOLDERS:
             continue
-        for shake in sorted(os.listdir(run_path)):
-            if not os.path.isdir(os.path.join(run_path, shake)):
+        if use_allowlists and folder in mt.PRESERVED_CLEAN_FOLDERS_2:
+            if os.path.isdir(os.path.join(input_path, folder, "rs1")):
+                jobs.append((folder, "rs1"))
+            continue
+        for shake in sorted(os.listdir(os.path.join(input_path, folder))):
+            if not os.path.isdir(os.path.join(input_path, folder, shake)):
                 continue
+            if use_allowlists and shake not in mt.SUBJECTS:
+                continue
+            jobs.append((folder, shake))
+    return jobs
+
+
+def process_dataset(input_path, output_dir, shifts=None, save_freq=False, workers=0,
+                    pretrain=False, use_allowlists="auto"):
+    """Extract every selected recording under {run}/{shake}/ folders.
+    shifts: optional {run: {shake: (start_s, end_s)}} trim override; by
+    default the per-recording data_trunk tables apply
+    (reference: data_trunk.py via mod_tables.py; 0 for unknown folders)."""
+    jobs = []
+    for run_folder, shake in select_jobs(input_path, pretrain, use_allowlists):
+        if shifts is not None:
             start, end = shifts.get(run_folder, {}).get(shake, (0.0, 0.0))
-            jobs.append((run_folder, shake, start, end))
+        else:
+            start, end = mt.default_shift(run_folder, shake)
+        jobs.append((run_folder, shake, start, end))
 
     all_paths = []
     if workers and workers > 1:
@@ -176,9 +229,18 @@ def main():
     parser.add_argument("--input", required=True, help="Raw MOD root ({run}/{shake}/*.csv)")
     parser.add_argument("--output", required=True, help="Output sample directory")
     parser.add_argument("--save-freq", action="store_true", help="Also save freq-domain samples")
+    parser.add_argument(
+        "--pretrain",
+        action="store_true",
+        help="Extract the unlabeled 'extra' pretrain recordings "
+        "(PRESERVED_EXTRA_FOLDERS) instead of the labeled clean set",
+    )
     parser.add_argument("--workers", type=int, default=0)
     args = parser.parse_args()
-    paths = process_dataset(args.input, args.output, save_freq=args.save_freq, workers=args.workers)
+    paths = process_dataset(
+        args.input, args.output, save_freq=args.save_freq, workers=args.workers,
+        pretrain=args.pretrain,
+    )
     print(f"Extracted {len(paths)} samples to {args.output}")
 
 

@@ -121,3 +121,63 @@ def test_partition(tmp_path):
     assert len(train) == 8 and val == test and len(val) == 2
     assert len(pre) == 12  # 4 extra + 8 train
     assert set(train).isdisjoint(val)
+
+
+def _mkdirs(root, layout):
+    for run, shakes in layout.items():
+        for s in shakes:
+            os.makedirs(os.path.join(root, run, s), exist_ok=True)
+
+
+def test_select_jobs_allowlists(tmp_path):
+    """Labeled flow: PRESERVED_CLEAN_FOLDERS only; _2 folders use rs1, others
+    SUBJECTS={rs3}. Pretrain flow: PRESERVED_EXTRA_FOLDERS table
+    (reference: extract_samples.py:330-360, extract_pretrain_samples.py:153-165)."""
+    from focal_tpu.data.preprocess.mod import select_jobs
+
+    root = str(tmp_path / "raw")
+    _mkdirs(root, {
+        "tesla": ["rs1", "rs2", "rs3", "rs7"],
+        "Polaris0150pm": ["rs1", "rs3"],
+        "bicycle2": ["rs1", "rs3"],   # not in CLEAN list, in EXTRA list
+        "randomjunk": ["rs3"],        # in neither
+    })
+    labeled = select_jobs(root, pretrain=False)
+    assert labeled == [("Polaris0150pm", "rs1"), ("tesla", "rs3")]
+
+    pre = select_jobs(root, pretrain=True)
+    assert ("bicycle2", "rs1") in pre and ("bicycle2", "rs3") in pre
+    assert ("tesla", "rs1") in pre and ("tesla", "rs2") in pre and ("tesla", "rs7") in pre
+    assert not any(r == "tesla" and s == "rs3" for r, s in pre)  # tesla extra = rs1/rs2/rs7
+    assert not any(r in ("Polaris0150pm", "randomjunk") for r, _ in pre)
+
+    # fabricated layouts with no allowlisted folder still extract (auto mode)
+    root2 = str(tmp_path / "raw2")
+    _mkdirs(root2, {"myrun": ["rs1"]})
+    assert select_jobs(root2) == [("myrun", "rs1")]
+
+
+def test_trim_tables_applied_by_default(tmp_path, monkeypatch):
+    """process_dataset pulls per-recording trims from the data_trunk tables
+    (effective values — the reference's duplicated 'tesla' literal means the
+    second entry wins; reference: data_trunk.py:17-18,46-47)."""
+    from focal_tpu.data.preprocess import mod as modpp
+    from focal_tpu.data.preprocess.mod_tables import default_shift
+
+    assert default_shift("tesla", "rs3") == (80, 90)
+    assert default_shift("pickup", "rs7") == (290, 30)
+    assert default_shift("Warhog1135am", "rs1") == (0, 0)
+    assert default_shift("unknownfolder", "rs1") == (0, 0)
+
+    root = str(tmp_path / "raw")
+    _mkdirs(root, {"tesla": ["rs3"], "Polaris0150pm": ["rs1"]})
+    calls = []
+
+    def fake_process_shake(run, shake, inp, out, start=0.0, end=0.0, save_freq=False):
+        calls.append((run, shake, start, end))
+        return []
+
+    monkeypatch.setattr(modpp, "process_shake", fake_process_shake)
+    modpp.process_dataset(root, str(tmp_path / "out"))
+    assert ("tesla", "rs3", 80, 90) in calls
+    assert ("Polaris0150pm", "rs1", 0, 0) in calls
