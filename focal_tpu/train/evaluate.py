@@ -80,11 +80,28 @@ def _np_cross_entropy(logits, labels, weight):
 
 
 def eval_supervised(args, state, fwd_class, plan, data):
-    """No-aug forward over a split -> (mean loss, (acc, f1, confusion)).
+    """No-aug forward over a split -> (mean loss, (acc, f1, confusion)),
+    or (mean MSE loss, (mse,)) for a regression task.
 
     Loss is the mean of per-batch weighted means, matching the reference's
-    one-loss-per-batch accumulation (eval_functions.py:29-55)."""
+    one-loss-per-batch accumulation (eval_functions.py:29-55). Regression
+    branch (reference surface: test.py:39-41, supervised_train.py:44):
+    deliberate deviation — the reference still argmaxes and prints that value
+    as "mse"; here the head's first output regresses the label and real MSE
+    is reported."""
     logits = np.asarray(jax.device_get(fwd_class(state, data, plan.device_idx)), np.float32)
+    if "regression" in args.task:
+        preds = logits[..., 0] if logits.ndim == 3 else logits  # [nb, B]
+        y = plan.labels.astype(np.float32)
+        w = plan.weight
+        batch_mse = [
+            float(((preds[b] - y[b]) ** 2 * w[b]).sum() / max(w[b].sum(), 1.0))
+            for b in range(preds.shape[0])
+        ]
+        mean_loss = float(np.mean(batch_mse))
+        keep = plan.weight.reshape(-1) > 0
+        mse = float(((preds.reshape(-1) - y.reshape(-1))[keep] ** 2).mean())
+        return mean_loss, (mse,)
     batch_losses = [
         _np_cross_entropy(logits[b], plan.labels[b], plan.weight[b])
         for b in range(logits.shape[0])

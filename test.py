@@ -57,6 +57,10 @@ def test(args):
     plan = ev.EvalPlan(test_loader, mesh_plan)
     test_loss, metrics = ev.eval_supervised(args, state, fwd_class, plan, data)
 
+    if "regression" in args.task:
+        # regression branch (reference: test.py:39-41)
+        print(f"Test classifier loss: {test_loss: .5f}, test mse: {metrics[0]: .5f}")
+        return test_loss, metrics[0]
     print(f"Test classifier loss: {test_loss: .5f}")
     print(f"Test acc: {metrics[0]: .5f}, test f1: {metrics[1]: .5f}")
     print(f"Test confusion matrix:\n {metrics[2]}")

@@ -127,3 +127,27 @@ def test_bf16_compute_path(make_args):
     state, metrics = step(state, data, labels, jnp.arange(16, dtype=jnp.int32), jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
     assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(state.params))
+
+
+def test_eval_supervised_regression_branch():
+    """'regression' in task -> (weighted MSE loss, (mse,))
+    (reference surface: test.py:39-41; real MSE is a documented deviation
+    from the reference's vestigial argmax-as-mse print)."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from focal_tpu.train.evaluate import eval_supervised
+
+    preds = np.array([[0.5, 1.0, 2.0], [3.0, 1.0, 0.0]], np.float32)  # [nb=2, B=3]
+    labels = np.array([[1.0, 1.0, 2.0], [2.0, 9.0, 0.0]], np.float32)
+    weight = np.array([[1.0, 1.0, 1.0], [1.0, 0.0, 1.0]], np.float32)  # one padded slot
+
+    plan = SimpleNamespace(device_idx=None, labels=labels, weight=weight)
+    args = SimpleNamespace(task="distance_regression")
+    loss, metrics = eval_supervised(args, None, lambda s, d, i: preds, plan, None)
+
+    # batch 0: mean((0.5-1)^2, 0, 0) = 0.0833..; batch 1: (1 + 0)/2 = 0.5
+    np.testing.assert_allclose(loss, (0.25 / 3 + 0.5) / 2, rtol=1e-6)
+    # global mse over valid slots: (0.25 + 0 + 0 + 1 + 0)/5
+    np.testing.assert_allclose(metrics[0], 0.25, rtol=1e-6)
