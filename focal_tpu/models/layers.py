@@ -39,7 +39,7 @@ class ConvLayer2D(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
         # Dropout2d: zero whole channels -> broadcast over the spatial dims
         x = nn.Dropout(self.dropout_ratio, broadcast_dims=(1, 2), deterministic=not train)(x)
         return x
@@ -125,13 +125,52 @@ class GRULayer(nn.Module):
         return jnp.swapaxes(ys, 0, 1)  # [b, t, H]
 
 
+class BiGRULayer(nn.Module):
+    """One bidirectional GRU layer with SEPARATE per-direction parameters
+    (torch nn.GRU(bidirectional=True) semantics: weight_ih_l{k} and
+    weight_ih_l{k}_reverse are independent — required for torch-checkpoint
+    import parity). Params are stacked on a leading direction axis so the
+    input projections for all timesteps and both directions run as one
+    batched einsum; the recurrence advances a [2, b, H] state in one scan.
+
+    Gate math matches torch.nn.GRU (both bias vectors kept: b_hn sits inside
+    the r* term). Input [b, t, c] -> [b, t, 2H] (fwd ++ bwd, torch order).
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        H = self.hidden
+        wi = self.param("wi", nn.initializers.lecun_normal(), (2, C, 3 * H))
+        bi = self.param("bi", nn.initializers.zeros_init(), (2, 3 * H))
+        wh = self.param("wh", nn.initializers.orthogonal(), (2, H, 3 * H))
+        bh = self.param("bh", nn.initializers.zeros_init(), (2, 3 * H))
+
+        both = jnp.stack([x, x[:, ::-1]], axis=0)  # [2, b, t, C]
+        # one MXU-friendly batched matmul for every timestep of each direction
+        xproj = jnp.einsum("dbtc,dcg->tdbg", both, wi) + bi[:, None]  # [t, 2, b, 3H]
+
+        def step(h, xp):  # h [2, b, H], xp [2, b, 3H]
+            hp = jnp.einsum("dbh,dhg->dbg", h, wh) + bh[:, None]
+            r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
+            z = jax.nn.sigmoid(xp[..., H : 2 * H] + hp[..., H : 2 * H])
+            n = jnp.tanh(xp[..., 2 * H :] + r * hp[..., 2 * H :])
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        h0 = jnp.zeros((2, B, H), x.dtype)
+        _, ys = jax.lax.scan(step, h0, xproj, unroll=T)  # [t, 2, b, H]
+        fwd = jnp.swapaxes(ys[:, 0], 0, 1)  # [b, t, H]
+        bwd = jnp.swapaxes(ys[::-1, 1], 0, 1)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 class BiGRU(nn.Module):
     """num_layers-layer bidirectional GRU, mean-pooled over time
     (reference: RecurrentModule.py:5-31 — torch.nn.GRU(bidirectional=True),
     inter-layer dropout, mean over intervals).
-
-    Both directions share one scan by stacking the reversed sequence into the
-    batch axis — twice the matmul width, same sequential depth.
 
     Input [b, i, c] -> Output [b, 2 * hidden].
     """
@@ -144,12 +183,8 @@ class BiGRU(nn.Module):
     def __call__(self, x, train: bool):
         # GRU state math stays float32: tiny tensors, recurrent error compounds
         x = x.astype(jnp.float32)
-        b = x.shape[0]
         for layer in range(self.num_layers):
-            both = jnp.concatenate([x, x[:, ::-1]], axis=0)  # [2b, t, c]
-            ys = GRULayer(self.hidden, name=f"gru{layer}")(both)
-            fwd, bwd = ys[:b], ys[b:, ::-1]
-            x = jnp.concatenate([fwd, bwd], axis=-1)
+            x = BiGRULayer(self.hidden, name=f"gru{layer}")(x)
             if layer < self.num_layers - 1:
                 # torch GRU applies dropout between stacked layers only
                 x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
@@ -220,5 +255,5 @@ class ClassHead(nn.Module):
         if self.linear:
             return nn.Dense(self.num_classes, dtype=self.dtype)(x)
         x = nn.Dense(self.fc_dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)

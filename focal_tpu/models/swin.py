@@ -192,7 +192,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         x = nn.Dense(self.out, dtype=self.dtype)(x)
         return nn.Dropout(self.drop, deterministic=not train)(x)

@@ -30,8 +30,9 @@ def test_gru_matches_torch():
 
 
 def test_bigru_direction_wiring():
-    """The backward half must equal running the forward GRU on the reversed
-    sequence (then re-reversed) — i.e. true bidirectionality."""
+    """The backward half must equal running that direction's (independent)
+    GRU on the reversed sequence (then re-reversed) — true bidirectionality
+    with untied per-direction weights (torch nn.GRU semantics)."""
     B, T, C, H = 2, 7, 3, 4
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
@@ -41,12 +42,67 @@ def test_bigru_direction_wiring():
     out = m.apply(v, x, train=False)
     assert out.shape == (B, 2 * H)
 
+    g = v["params"]["gru0"]
     layer = GRULayer(H)
-    lv = {"params": v["params"]["gru0"]}
-    fwd = layer.apply(lv, x)
-    bwd = layer.apply(lv, x[:, ::-1])[:, ::-1]
+
+    def dir_params(d):
+        return {"params": {"wi": g["wi"][d], "bi": g["bi"][d], "wh": g["wh"][d], "bh": g["bh"][d]}}
+
+    fwd = layer.apply(dir_params(0), x)
+    bwd = layer.apply(dir_params(1), x[:, ::-1])[:, ::-1]
     want = jnp.concatenate([fwd, bwd], axis=-1).mean(axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+    # directions are genuinely untied
+    assert not np.allclose(np.asarray(g["wi"][0]), np.asarray(g["wi"][1]))
+
+
+def test_bigru_matches_torch_bidirectional():
+    """Full 2-layer bidirectional stack vs torch.nn.GRU(bidirectional=True),
+    weights copied torch->flax the same way the import tool does."""
+    B, T, C, H = 3, 6, 5, 4
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(B, T, C)).astype(np.float32)
+
+    tg = torch.nn.GRU(C, H, 2, batch_first=True, bidirectional=True)
+    params = {}
+    for layer in range(2):
+        in_dim = C if layer == 0 else 2 * H
+        wi = np.stack(
+            [
+                np.asarray(getattr(tg, f"weight_ih_l{layer}").detach()).T,
+                np.asarray(getattr(tg, f"weight_ih_l{layer}_reverse").detach()).T,
+            ]
+        )
+        wh = np.stack(
+            [
+                np.asarray(getattr(tg, f"weight_hh_l{layer}").detach()).T,
+                np.asarray(getattr(tg, f"weight_hh_l{layer}_reverse").detach()).T,
+            ]
+        )
+        bi = np.stack(
+            [
+                np.asarray(getattr(tg, f"bias_ih_l{layer}").detach()),
+                np.asarray(getattr(tg, f"bias_ih_l{layer}_reverse").detach()),
+            ]
+        )
+        bh = np.stack(
+            [
+                np.asarray(getattr(tg, f"bias_hh_l{layer}").detach()),
+                np.asarray(getattr(tg, f"bias_hh_l{layer}_reverse").detach()),
+            ]
+        )
+        assert wi.shape == (2, in_dim, 3 * H)
+        params[f"gru{layer}"] = {
+            "wi": jnp.asarray(wi), "wh": jnp.asarray(wh),
+            "bi": jnp.asarray(bi), "bh": jnp.asarray(bh),
+        }
+
+    m = BiGRU(hidden=H, num_layers=2)
+    out = m.apply({"params": params}, jnp.asarray(x), train=False)
+
+    tout, _ = tg(torch.from_numpy(x))
+    want = tout.detach().numpy().mean(axis=1)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
 
 def test_bigru_order_sensitivity():
