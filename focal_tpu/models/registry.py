@@ -25,17 +25,20 @@ def build_backbone(args):
         import jax
 
         from focal_tpu.models.sw_transformer import SWTransformer
+        from focal_tpu.parallel.mesh import make_mesh_plan
 
-        # fused pallas attention: TPU only (interpreter is slower than XLA on
-        # CPU) and single-device meshes only (Mosaic kernels cannot be
-        # auto-partitioned under a multi-chip jit)
-        n_mesh = args.data_parallel if getattr(args, "data_parallel", 0) > 0 else len(jax.devices())
+        # fused pallas attention: TPU only by default (the CPU interpreter is
+        # slower than the XLA path; tests opt in via args.force_pallas). On a
+        # >1-device mesh the kernels run under shard_map over the data axis.
         on_tpu = jax.default_backend() in ("tpu", "axon")
+        use_pallas = on_tpu or bool(getattr(args, "force_pallas", False))
+        plan = make_mesh_plan(getattr(args, "data_parallel", 0)) if use_pallas else None
         return SWTransformer(
             dataset_config=args.dataset_config,
             task=args.task,
             linear_class_head=linear_head,
             dtype=dtype,
-            use_pallas=on_tpu and n_mesh <= 1,
+            use_pallas=use_pallas,
+            pallas_mesh=None if plan is None else plan.mesh,
         )
     raise ValueError(f"Invalid model provided: {args.model}")

@@ -12,7 +12,7 @@ resolution and the shift on that axis becomes 0; masking only happens when
 BOTH shift components are positive (SwinModules.py:262-291,305).
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -74,10 +74,10 @@ def shifted_window_mask(H, W, wh, ww, sh, sw):
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference: SwinModules.py:73-152).
 
-    use_pallas enables the fused VMEM kernel. It must be off when the module
-    is jitted over a >1-device mesh (Mosaic kernels cannot be auto-partitioned
-    — they'd need a shard_map wrap) and off on CPU (interpreter mode is ~20x
-    slower than the XLA path); the builder decides.
+    use_pallas enables the fused VMEM kernels (forward AND backward). On a
+    >1-device mesh the kernels are wrapped in shard_map over the ``data``
+    axis (pass ``pallas_mesh``); off-TPU they run in interpreter mode, which
+    is slower than the XLA path, so the builder leaves use_pallas off there.
     """
 
     dim: int
@@ -88,6 +88,7 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    pallas_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
@@ -113,30 +114,42 @@ class WindowAttention(nn.Module):
         rel_index = relative_position_index(wh, ww).reshape(-1)
         bias = bias_table[rel_index].reshape(N, N, self.num_heads).transpose(2, 0, 1)
 
-        # fused pallas path: one VMEM pass for scores+softmax+weighted sum.
-        # Training dropout uses the in-kernel TPU PRNG.
+        # fused pallas path: one VMEM pass each for forward (scores + softmax
+        # + weighted sum) and backward (dq/dk/dv/dbias). Training dropout uses
+        # the in-kernel TPU PRNG; the backward regenerates the mask from the
+        # same seed. The bias is passed as a compact lane-periodic pattern
+        # [H, N, N, 128] (needs nW | 128) instead of a [B_, H, N, N] broadcast.
         dropout_active = train and self.attn_drop > 0.0
-        use_fused = small_window and self.use_pallas
+        mesh = self.pallas_mesh
+        n_shards = mesh.size if mesh is not None else 1
+        use_fused = (
+            small_window
+            and self.use_pallas
+            and (mask is None or 128 % mask.shape[0] == 0)
+            and B_ % max(n_shards, 1) == 0
+        )
         if use_fused:
             from focal_tpu.ops.pallas_kernels import (
+                expand_bias_lanes,
                 fused_window_attention,
                 fused_window_attention_dropout,
+                sharded_window_attention,
             )
 
-            bias_b = jnp.broadcast_to(
-                bias[None].astype(jnp.float32), (B_, self.num_heads, N, N)
-            )
-            if mask is not None:
-                nW = mask.shape[0]
-                tiled = jnp.tile(jnp.asarray(mask), (B_ // nW, 1, 1))  # [B_, N, N]
-                bias_b = bias_b + tiled[:, None]
+            bias_l = expand_bias_lanes(bias.astype(jnp.float32), mask)
+            seed = None
             if dropout_active:
                 seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
                 )
-                out = fused_window_attention_dropout(q, k, v, bias_b, seed, float(self.attn_drop))
+            if n_shards > 1:
+                out = sharded_window_attention(
+                    mesh, q, k, v, bias_l, seed=seed, rate=float(self.attn_drop)
+                )
+            elif seed is not None:
+                out = fused_window_attention_dropout(q, k, v, bias_l, seed, float(self.attn_drop))
             else:
-                out = fused_window_attention(q, k, v, bias_b)
+                out = fused_window_attention(q, k, v, bias_l)
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
             out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
@@ -213,6 +226,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    pallas_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -238,7 +252,7 @@ class SwinBlock(nn.Module):
         attn_out = WindowAttention(
             self.dim, (wh, ww), self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn",
+            use_pallas=self.use_pallas, pallas_mesh=self.pallas_mesh, name="attn",
         )(windows, mask, train)
         x = window_reverse(attn_out, wh, ww, H, W)
         if shifted:
@@ -289,6 +303,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    pallas_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -312,6 +327,7 @@ class BasicLayer(nn.Module):
                 drop_path=dp,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                pallas_mesh=self.pallas_mesh,
                 name=f"block{i}",
             )(x, train)
         if self.downsample:

@@ -1,18 +1,38 @@
-"""Pallas TPU kernels.
+"""Pallas TPU kernels for fused window attention.
 
-fused_window_attention: the Swin towers spend most of their time on
-window attention over tiny (<=16 token) windows. XLA's batched-matmul
-lowering cannot tile 9x9x16 contractions onto the MXU, and even the
-broadcast-multiply-reduce formulation runs as several separate fusions with
-HBM round-trips between scores, softmax and the weighted sum. This kernel
-computes the whole attention in one VMEM pass using a batch-in-lanes layout:
-operands are transposed to [heads, tokens, dim, batch] so every elementwise
-op vectorises over the 128-lane axis and no intermediate leaves VMEM.
+The Swin towers spend most of their time on attention over tiny (<=16 token)
+windows. XLA's batched-matmul lowering cannot tile 9x9x16 contractions onto
+the MXU, and the broadcast-multiply-reduce formulation runs as several
+separate fusions with HBM round-trips between scores, softmax and the
+weighted sum. These kernels compute the whole attention — forward AND
+backward — in one VMEM pass each, using a batch-in-lanes layout: operands are
+transposed to [heads, tokens, dim, window-batch] so every elementwise op
+vectorises over the 128-lane axis and no intermediate touches HBM.
 
-The backward pass is the standard attention VJP expressed in the same
-VPU-friendly broadcast form, run through XLA (a fused backward kernel is a
-further optimisation). Falls back to interpreter mode off-TPU so tests run
-on CPU.
+Bias layout: window attention adds a relative-position bias that is shared by
+all windows plus (for shifted blocks) a per-window mask. Both repeat with
+period nW (windows per image) along the window-batch axis. Instead of
+broadcasting a [B, H, N, N] bias (tens of MB of HBM traffic per layer), the
+kernels take a compact ``bias_l`` of shape [H, N, N, 128] holding the pattern
+for one 128-lane register (valid whenever nW divides 128) and tile it across
+lanes inside VMEM.
+
+The backward kernels compute dq/dk/dv in the same layout and reduce the bias
+gradient to [H, N, N, 128] in-kernel (accumulated across window-batch tiles by
+revisiting the output block). The dropout variant regenerates its keep-mask in
+the backward by reseeding the hardware PRNG with the forward's seed — no
+attention residual is ever materialised.
+
+Multi-chip: ``sharded_window_attention`` wraps the kernels in ``shard_map``
+over the data mesh axis so the fused path survives pjit over >1 device
+(Mosaic kernels cannot be auto-partitioned).
+
+Off-TPU the kernels run in interpreter mode so CPU tests exercise the same
+code path (except the dropout variants, which need the hardware PRNG).
+
+Reference for the math these kernels must reproduce:
+/root/reference/src/models/SwinModules.py:121-152 (softmax(q k^T * scale +
+rel_pos_bias + shift_mask) v; the *scale is applied by the caller).
 """
 
 import functools
@@ -21,12 +41,38 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
-LANE_TILE = 512  # windows per kernel invocation (multiple of 128)
+LANE = 128
+MAX_TILE = 512  # windows per kernel invocation (multiple of 128)
+_VMEM_BUDGET = 6 * 1024 * 1024  # per-block working-set target, bytes
+
+
+def _on_tpu():
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _pick_tile(N, D, B, n_nd_bufs, n_nn_bufs):
+    """Largest lane tile (multiple of 128, <= MAX_TILE) whose f32 working set
+    fits the VMEM budget."""
+    tile = MAX_TILE
+    while tile > LANE and (n_nd_bufs * N * D + n_nn_bufs * N * N) * tile * 4 > _VMEM_BUDGET:
+        tile //= 2
+    if B < tile:
+        tile = max(LANE, ((B + LANE - 1) // LANE) * LANE)
+    return tile
+
+
+def _expand_bias(bias, tile):
+    """[N, N, 128] -> [N, N, tile] by repeating whole 128-lane registers."""
+    reps = tile // LANE
+    if reps == 1:
+        return bias
+    return jnp.concatenate([bias] * reps, axis=-1)
 
 
 def _scores_softmax(q, k, bias):
-    """scores[n, m, b] = sum_d q[n,d,b] k[m,d,b]; softmax over m.
+    """scores[n, m, b] = sum_d q[n,d,b] k[m,d,b] + bias[n,m,b]; softmax over m.
     Unrolled over the (tiny, static) n axis so temporaries stay [N, D, TB]
     instead of [N, N, D, TB] — the latter blows the VMEM stack at D=64."""
     N = q.shape[0]
@@ -45,37 +91,352 @@ def _weighted_sum(attn, v):
     return jnp.stack([jnp.sum(attn[n][:, None, :] * v, axis=0) for n in range(N)])
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
-    """One (head, batch-tile): q/k/v [1, N, D, TB], bias [1, N, N, TB]."""
+def _dropout_mask(seed_ref, shape, rate):
+    """Deterministic per-(head, batch-tile) keep mask from the hardware PRNG.
+    Called with identical seeds/program ids in forward and backward so the
+    backward regenerates the forward's mask instead of loading a residual."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 65537 + pl.program_id(1))
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(rate * 4294967296.0)
+    return pltpu.bitcast(bits, jnp.uint32) >= threshold
+
+
+# ---------------------------------------------------------------------------
+# forward kernels
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    """One (head, batch-tile): q/k/v [1, N, D, TB], bias [1, N, N, 128]."""
     q = q_ref[0].astype(jnp.float32)  # [N, D, TB]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    attn = _scores_softmax(q, k, bias_ref[0])
+    bias = _expand_bias(bias_ref[0], q.shape[-1])
+    attn = _scores_softmax(q, k, bias)
     out_ref[0] = _weighted_sum(attn, v).astype(out_ref.dtype)
 
 
-def _pallas_forward(qt, kt, vt, bias_t, tile):
-    """qt/kt/vt: [H, N, D, B], bias_t: [H, N, N, B] -> [H, N, D, B]."""
+def _attn_fwd_dropout_kernel(rate, seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bias = _expand_bias(bias_ref[0], q.shape[-1])
+    attn = _scores_softmax(q, k, bias)
+    keep = _dropout_mask(seed_ref, attn.shape, rate)
+    attn = jnp.where(keep, attn / (1.0 - rate), 0.0)
+    out_ref[0] = _weighted_sum(attn, v).astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels: dq/dk/dv in the batch-in-lanes layout, dbias reduced
+# in-kernel to one [N, N, 128] register pattern per head
+# ---------------------------------------------------------------------------
+
+
+def _bwd_math(q, k, v, g, bias, keep, inv_keep):
+    """Shared VJP math. q/k/v/g: [N, D, TB] f32; bias: [N, N, TB];
+    keep: bool [N, N, TB] or None. Returns dq, dk, dv [N, D, TB] and
+    ds [N, N, TB] (the score gradient == per-lane bias gradient)."""
+    N = q.shape[0]
+    attn = _scores_softmax(q, k, bias)  # pre-dropout attention
+    # d_attn[n, m, b] = sum_d g[n, d, b] v[m, d, b]
+    d_attn = jnp.stack([jnp.sum(g[n][None, :, :] * v, axis=1) for n in range(N)])
+    if keep is None:
+        a_v = attn  # attention actually multiplied with v in the forward
+        da = d_attn
+    else:
+        a_v = jnp.where(keep, attn * inv_keep, 0.0)
+        da = jnp.where(keep, d_attn * inv_keep, 0.0)
+    # softmax VJP on the pre-dropout attention
+    ds = attn * (da - jnp.sum(da * attn, axis=1, keepdims=True))  # [N, N, TB]
+    dv = jnp.stack([jnp.sum(a_v[:, m][:, None, :] * g, axis=0) for m in range(N)])
+    dq = jnp.stack([jnp.sum(ds[n][:, None, :] * k, axis=0) for n in range(N)])
+    dk = jnp.stack([jnp.sum(ds[:, m][:, None, :] * q, axis=0) for m in range(N)])
+    return dq, dk, dv, ds
+
+
+def _store_grads(ds, dq, dk, dv, dq_ref, dk_ref, dv_ref, dbias_ref):
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    # fold the tile's lanes onto one 128-lane register: lane l of the bias
+    # input feeds tile positions p with p % 128 == l (same congruence the
+    # forward's _expand_bias uses), so dbias[l] = sum over those positions
+    tb = ds.shape[-1]
+    db = ds[:, :, 0:LANE]
+    for r in range(1, tb // LANE):
+        db = db + ds[:, :, r * LANE : (r + 1) * LANE]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dbias_ref[0] = db
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        dbias_ref[0] = dbias_ref[0] + db
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, dbias_ref):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    bias = _expand_bias(bias_ref[0], q.shape[-1])
+    dq, dk, dv, ds = _bwd_math(q, k, v, g, bias, None, None)
+    _store_grads(ds, dq, dk, dv, dq_ref, dk_ref, dv_ref, dbias_ref)
+
+
+def _attn_bwd_dropout_kernel(rate, seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                             dq_ref, dk_ref, dv_ref, dbias_ref):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    bias = _expand_bias(bias_ref[0], q.shape[-1])
+    keep = _dropout_mask(seed_ref, (q.shape[0], q.shape[0], q.shape[-1]), rate)
+    dq, dk, dv, ds = _bwd_math(q, k, v, g, bias, keep, 1.0 / (1.0 - rate))
+    _store_grads(ds, dq, dk, dv, dq_ref, dk_ref, dv_ref, dbias_ref)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+
+def _nd_spec(N, D, tile):
+    return pl.BlockSpec((1, N, D, tile), lambda h, b: (h, 0, 0, b), memory_space=pltpu.VMEM)
+
+
+def _bias_spec(N):
+    return pl.BlockSpec((1, N, N, LANE), lambda h, b: (h, 0, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _seed_spec():
+    return pl.BlockSpec((1,), lambda h, b: (0,), memory_space=pltpu.SMEM)
+
+
+def _call_forward(qt, kt, vt, bias_l, tile, seed=None, rate=0.0):
     H, N, D, B = qt.shape
-    interpret = jax.default_backend() not in ("tpu", "axon")
     grid = (H, B // tile)
-
-    def idx(h, b):
-        return (h, 0, 0, b)
-
+    if seed is None:
+        return pl.pallas_call(
+            _attn_fwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((H, N, D, B), qt.dtype),
+            grid=grid,
+            in_specs=[_nd_spec(N, D, tile)] * 3 + [_bias_spec(N)],
+            out_specs=_nd_spec(N, D, tile),
+            interpret=not _on_tpu(),
+        )(qt, kt, vt, bias_l)
     return pl.pallas_call(
-        _attn_kernel,
+        functools.partial(_attn_fwd_dropout_kernel, rate),
         out_shape=jax.ShapeDtypeStruct((H, N, D, B), qt.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N, tile), idx, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(qt, kt, vt, bias_t)
+        in_specs=[_seed_spec()] + [_nd_spec(N, D, tile)] * 3 + [_bias_spec(N)],
+        out_specs=_nd_spec(N, D, tile),
+    )(seed, qt, kt, vt, bias_l)
+
+
+def _call_backward(qt, kt, vt, bias_l, gt, tile, seed=None, rate=0.0):
+    H, N, D, B = qt.shape
+    grid = (H, B // tile)
+    out_shape = (
+        jax.ShapeDtypeStruct((H, N, D, B), qt.dtype),
+        jax.ShapeDtypeStruct((H, N, D, B), kt.dtype),
+        jax.ShapeDtypeStruct((H, N, D, B), vt.dtype),
+        jax.ShapeDtypeStruct((H, N, N, LANE), jnp.float32),
+    )
+    out_specs = (
+        _nd_spec(N, D, tile),
+        _nd_spec(N, D, tile),
+        _nd_spec(N, D, tile),
+        _bias_spec(N),
+    )
+    if seed is None:
+        return pl.pallas_call(
+            _attn_bwd_kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[_nd_spec(N, D, tile)] * 3 + [_bias_spec(N), _nd_spec(N, D, tile)],
+            out_specs=out_specs,
+            interpret=not _on_tpu(),
+        )(qt, kt, vt, bias_l, gt)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_dropout_kernel, rate),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[_seed_spec()] + [_nd_spec(N, D, tile)] * 3
+        + [_bias_spec(N), _nd_spec(N, D, tile)],
+        out_specs=out_specs,
+    )(seed, qt, kt, vt, bias_l, gt)
+
+
+def _to_lanes(arrs, tile):
+    """[B, H, N, D] -> [H, N, D, Bp] with the window-batch padded to the tile."""
+    B = arrs[0].shape[0]
+    pad = (-B) % tile
+    out = []
+    for a in arrs:
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        out.append(a.transpose(1, 2, 3, 0))
+    return out
+
+
+def _fwd_impl(q, k, v, bias_l, seed=None, rate=0.0):
+    B, H, N, D = q.shape
+    tile = _pick_tile(N, D, B, n_nd_bufs=4, n_nn_bufs=4)
+    qt, kt, vt = _to_lanes((q, k, v), tile)
+    out_t = _call_forward(qt, kt, vt, bias_l, tile, seed=seed, rate=rate)
+    return out_t.transpose(3, 0, 1, 2)[:B]
+
+
+def _bwd_impl(q, k, v, bias_l, g, seed=None, rate=0.0):
+    B, H, N, D = q.shape
+    # backward holds ~7 [N,D,TB] and ~6 [N,N,TB] live f32 buffers
+    tile = _pick_tile(N, D, B, n_nd_bufs=7, n_nn_bufs=6)
+    qt, kt, vt, gt = _to_lanes((q, k, v, g), tile)
+    dq_t, dk_t, dv_t, dbias = _call_backward(qt, kt, vt, bias_l, gt, tile, seed=seed, rate=rate)
+    dq = dq_t.transpose(3, 0, 1, 2)[:B]
+    dk = dk_t.transpose(3, 0, 1, 2)[:B]
+    dv = dv_t.transpose(3, 0, 1, 2)[:B]
+    return dq, dk, dv, dbias
+
+
+# ---------------------------------------------------------------------------
+# public ops (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def fused_window_attention(q, k, v, bias_l):
+    """softmax(q kT + bias) v over tiny windows, fully fused fwd+bwd.
+
+    q, k, v: [B, H, N, D] (any float dtype; q pre-scaled by the caller).
+    bias_l: [H, N, N, 128] float32 — the per-lane bias pattern; lane l holds
+    the bias of window (l mod nW), which requires nW | 128 (callers check).
+    Returns [B, H, N, D] in q's dtype.
+    """
+    return _fwd_impl(q, k, v, bias_l)
+
+
+def _fwd_rule(q, k, v, bias_l):
+    return _fwd_impl(q, k, v, bias_l), (q, k, v, bias_l)
+
+
+def _bwd_rule(res, g):
+    q, k, v, bias_l = res
+    return _bwd_impl(q, k, v, bias_l, g)
+
+
+fused_window_attention.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_window_attention_dropout(q, k, v, bias_l, seed, rate):
+    """Fused window attention with in-kernel attention dropout.
+
+    seed: int32 [1] (vary per step); rate: static dropout rate in (0, 1).
+    TPU-only (uses the hardware PRNG; no interpreter fallback) — callers gate
+    on the backend. The backward regenerates the dropout mask from the same
+    seed, so no attention residual is stored.
+    """
+    return _fwd_impl(q, k, v, bias_l, seed=seed, rate=rate)
+
+
+def _fwd_rule_dropout(q, k, v, bias_l, seed, rate):
+    return _fwd_impl(q, k, v, bias_l, seed=seed, rate=rate), (q, k, v, bias_l, seed)
+
+
+def _bwd_rule_dropout(rate, res, g):
+    q, k, v, bias_l, seed = res
+    dq, dk, dv, dbias = _bwd_impl(q, k, v, bias_l, g, seed=seed, rate=rate)
+    return dq, dk, dv, dbias, None
+
+
+fused_window_attention_dropout.defvjp(_fwd_rule_dropout, _bwd_rule_dropout)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_op(mesh, rate, with_dropout):
+    """Build (and cache) the shard_map-wrapped fused op for a mesh.
+
+    Mosaic kernels cannot be auto-partitioned by pjit; shard_map hands each
+    device its [B/n, H, N, D] shard (bias replicated) and the kernels run
+    per-device with no collectives in the forward — window attention is
+    batch-parallel. The VJP is spelled out manually because the bias is
+    replicated: its per-shard gradient needs an explicit psum over the data
+    axis (shard_map's implicit transpose does not insert one under
+    check_vma=False). With dropout, each device folds its axis index into
+    the seed so masks differ across shards; the seed must be an int32 [1]."""
+
+    data, repl = P("data"), P()
+
+    def _local_seed(seed):
+        return seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
+
+    if with_dropout:
+        fwd_specs = (data, data, data, repl, repl)
+
+        def fwd_body(q, k, v, bias_l, seed):
+            return _fwd_impl(q, k, v, bias_l, seed=_local_seed(seed), rate=rate)
+
+        def bwd_body(q, k, v, bias_l, g, seed):
+            dq, dk, dv, dbias = _bwd_impl(q, k, v, bias_l, g, seed=_local_seed(seed), rate=rate)
+            return dq, dk, dv, jax.lax.psum(dbias, "data")
+
+    else:
+        fwd_specs = (data, data, data, repl)
+
+        def fwd_body(q, k, v, bias_l):
+            return _fwd_impl(q, k, v, bias_l)
+
+        def bwd_body(q, k, v, bias_l, g):
+            dq, dk, dv, dbias = _bwd_impl(q, k, v, bias_l, g)
+            return dq, dk, dv, jax.lax.psum(dbias, "data")
+
+    fwd_sm = jax.shard_map(fwd_body, mesh=mesh, in_specs=fwd_specs,
+                           out_specs=data, check_vma=False)
+    bwd_specs = fwd_specs[:4] + (data,) + fwd_specs[4:]
+    bwd_sm = jax.shard_map(bwd_body, mesh=mesh, in_specs=bwd_specs,
+                           out_specs=(data, data, data, repl), check_vma=False)
+
+    @jax.custom_vjp
+    def op(q, k, v, bias_l, *seed):
+        return fwd_sm(q, k, v, bias_l, *seed)
+
+    def op_fwd(q, k, v, bias_l, *seed):
+        return fwd_sm(q, k, v, bias_l, *seed), (q, k, v, bias_l, seed)
+
+    def op_bwd(res, g):
+        q, k, v, bias_l, seed = res
+        dq, dk, dv, dbias = bwd_sm(q, k, v, bias_l, g, *seed)
+        return (dq, dk, dv, dbias) + (None,) * len(seed)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def sharded_window_attention(mesh, q, k, v, bias_l, seed=None, rate=0.0):
+    """Fused window attention under shard_map over the mesh's ``data`` axis.
+
+    The window-batch axis of q/k/v must shard evenly (callers check) and each
+    shard must be a multiple of the bias period nW (true by construction:
+    shards are whole samples x nW windows). bias_l is replicated.
+    """
+    if seed is None:
+        return _sharded_op(mesh, 0.0, False)(q, k, v, bias_l)
+    return _sharded_op(mesh, float(rate), True)(q, k, v, bias_l, seed)
+
+
+# ---------------------------------------------------------------------------
+# reference formulation (tests + fallback math)
+# ---------------------------------------------------------------------------
 
 
 def _xla_attention(q, k, v, bias_b):
@@ -85,152 +446,15 @@ def _xla_attention(q, k, v, bias_b):
     return (attn[..., None] * v[:, :, None, :, :]).sum(-2)
 
 
-def _prepare(q, k, v, bias_b):
-    """Pad the window-batch to the lane tile and move it to the lane axis:
-    [B, H, N, D] -> [H, N, D, Bp]. Returns (qt, kt, vt, bias_t, B, tile)."""
-    B = q.shape[0]
-    tile = LANE_TILE if B >= LANE_TILE else max(128, ((B + 127) // 128) * 128)
-    pad = (-B) % tile
-    if pad:
-        q, k, v = (jnp.pad(a, ((0, pad), (0, 0), (0, 0), (0, 0))) for a in (q, k, v))
-        bias_b = jnp.pad(bias_b, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    qt, kt, vt = (a.transpose(1, 2, 3, 0) for a in (q, k, v))
-    return qt, kt, vt, bias_b.transpose(1, 2, 3, 0), B, tile
-
-
-def _impl(q, k, v, bias_b):
-    qt, kt, vt, bias_t, B, tile = _prepare(q, k, v, bias_b)
-    out_t = _pallas_forward(qt, kt, vt, bias_t, tile)
-    return out_t.transpose(3, 0, 1, 2)[:B]
-
-
-@jax.custom_vjp
-def fused_window_attention(q, k, v, bias_b):
-    """softmax(q kT + bias) v over tiny windows.
-
-    q, k, v: [B, H, N, D] (any float dtype), bias_b: [B, H, N, N] float32
-    (relative-position bias + any shift mask, already broadcast per window).
-    Returns [B, H, N, D] in q's dtype. No attention dropout — callers fall
-    back to the XLA path when attn_drop is active in train mode.
-    """
-    return _impl(q, k, v, bias_b)
-
-
-def _fwd(q, k, v, bias_b):
-    return _impl(q, k, v, bias_b), (q, k, v, bias_b)
-
-
-def _bwd(res, g):
-    q, k, v, bias_b = res
-    # recompute attn (cheap, keeps residual memory small)
-    scores = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32) + bias_b
-    attn = jax.nn.softmax(scores, axis=-1)
-    gf = g.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    d_attn = (gf[:, :, :, None, :] * vf[:, :, None, :, :]).sum(-1)  # [B,H,N,M]
-    ds = attn * (d_attn - (d_attn * attn).sum(-1, keepdims=True))  # softmax VJP
-    dv = (attn[..., None] * gf[:, :, :, None, :]).sum(2)  # [B,H,M,D]
-    dq = (ds[..., None] * k.astype(jnp.float32)[:, :, None, :, :]).sum(-2)
-    dk = (ds.swapaxes(-1, -2)[..., None] * q.astype(jnp.float32)[:, :, None, :, :]).sum(-2)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), ds
-
-
-fused_window_attention.defvjp(_fwd, _bwd)
-
-
-# ---------------------------------------------------------------------------
-# dropout-capable variant (training): attention dropout runs in-kernel via
-# the TPU PRNG; the dropped attention matrix is saved as a residual so the
-# XLA backward stays consistent with the kernel's random mask.
-# ---------------------------------------------------------------------------
-
-
-def _attn_dropout_kernel(rate, seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, attn_ref):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    attn = _scores_softmax(q, k, bias_ref[0])
-
-    # unique stream per (head, batch-tile)
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 65537 + pl.program_id(1))
-    bits = pltpu.prng_random_bits(attn.shape)
-    threshold = jnp.uint32(rate * 4294967296.0)
-    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
-    attn = jnp.where(keep, attn / (1.0 - rate), 0.0)
-
-    out_ref[0] = _weighted_sum(attn, v).astype(out_ref.dtype)
-    attn_ref[0] = attn
-
-
-def _pallas_forward_dropout(qt, kt, vt, bias_t, seed, rate, tile):
-    H, N, D, B = qt.shape
-    grid = (H, B // tile)
-
-    def idx(h, b):
-        return (h, 0, 0, b)
-
-    def idx_seed(h, b):
-        return (0,)
-
-    out, attn = pl.pallas_call(
-        functools.partial(_attn_dropout_kernel, rate),
-        out_shape=(
-            jax.ShapeDtypeStruct((H, N, D, B), qt.dtype),
-            jax.ShapeDtypeStruct((H, N, N, B), jnp.float32),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1,), idx_seed, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N, tile), idx, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, N, D, tile), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N, tile), idx, memory_space=pltpu.VMEM),
-        ),
-    )(seed, qt, kt, vt, bias_t)
-    return out, attn
-
-
-def _impl_dropout(q, k, v, bias_b, seed, rate):
-    qt, kt, vt, bias_t, B, tile = _prepare(q, k, v, bias_b)
-    out_t, attn_t = _pallas_forward_dropout(qt, kt, vt, bias_t, seed.reshape(1), rate, tile)
-    return out_t.transpose(3, 0, 1, 2)[:B], attn_t.transpose(3, 0, 1, 2)[:B]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_window_attention_dropout(q, k, v, bias_b, seed, rate):
-    """Fused window attention with in-kernel attention dropout.
-
-    seed: int32 scalar (vary per step); rate: static dropout rate in (0, 1).
-    TPU-only (uses the hardware PRNG; no interpreter fallback) — callers gate
-    on the backend.
-    """
-    out, _ = _impl_dropout(q, k, v, bias_b, seed, rate)
-    return out
-
-
-def _fwd_dropout(q, k, v, bias_b, seed, rate):
-    out, attn_dropped = _impl_dropout(q, k, v, bias_b, seed, rate)
-    return out, (q, k, v, bias_b, attn_dropped)
-
-
-def _bwd_dropout(rate, res, g):
-    q, k, v, bias_b, a_drop = res
-    scores = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32) + bias_b
-    a = jax.nn.softmax(scores, axis=-1)  # pre-dropout attention
-    gf = g.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dv = (a_drop[..., None] * gf[:, :, :, None, :]).sum(2)  # [B,H,M,D]
-    d_adrop = (gf[:, :, :, None, :] * vf[:, :, None, :, :]).sum(-1)  # [B,H,N,M]
-    # a_drop = a * mask/keep  =>  da = d_adrop * a_drop / a  (0 where dropped)
-    da = d_adrop * a_drop / jnp.maximum(a, 1e-20)
-    ds = a * (da - (da * a).sum(-1, keepdims=True))
-    dq = (ds[..., None] * k.astype(jnp.float32)[:, :, None, :, :]).sum(-2)
-    dk = (ds.swapaxes(-1, -2)[..., None] * q.astype(jnp.float32)[:, :, None, :, :]).sum(-2)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), ds, None
-
-
-fused_window_attention_dropout.defvjp(_fwd_dropout, _bwd_dropout)
+def expand_bias_lanes(bias, mask, num_lanes=LANE):
+    """Build the [H, N, N, num_lanes] lane-periodic bias from the shared
+    relative-position bias [H, N, N] and the optional per-window shift mask
+    [nW, N, N]. Requires nW | num_lanes. Differentiable in ``bias`` (the
+    learned table); the mask is a static constant."""
+    H, N, _ = bias.shape
+    bias_l = jnp.broadcast_to(bias[..., None].astype(jnp.float32), (H, N, N, num_lanes))
+    if mask is not None:
+        nW = mask.shape[0]
+        m = jnp.tile(jnp.asarray(mask, dtype=jnp.float32), (num_lanes // nW, 1, 1))
+        bias_l = bias_l + m.transpose(1, 2, 0)[None]  # [1, N, N, L]
+    return bias_l
