@@ -7,7 +7,6 @@ to make the round-trip authentic: init torch model -> state_dict -> import ->
 compare eval forwards in f32.
 """
 
-import sys
 from types import SimpleNamespace
 
 import jax
@@ -16,17 +15,14 @@ import numpy as np
 import pytest
 import torch
 
-REF_SRC = "/root/reference/src"
-
 
 @pytest.fixture(scope="module")
 def torch_deepsense_and_cfg():
     from focal_tpu.params.yaml_utils import load_dataset_config
+    from focal_tpu.utils.reference_loader import import_reference
 
     cfg = load_dataset_config("MOD_TINY")
-    if REF_SRC not in sys.path:
-        sys.path.insert(0, REF_SRC)
-    from models.DeepSense import DeepSense as TorchDeepSense
+    TorchDeepSense = import_reference("models.DeepSense").DeepSense
 
     args = SimpleNamespace(
         dataset_config=cfg, device="cpu", task="vehicle_classification", train_mode="supervised"
