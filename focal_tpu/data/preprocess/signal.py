@@ -7,23 +7,59 @@ real/imag as [c0_re, c0_im, c1_re, c1_im, ...] exactly like the on-device FFT
 (focal_tpu.ops.fft).
 """
 
+import math
+
 import numpy as np
-from scipy import signal as sps
 
 
-def resample(x, orig_freq, new_freq):
-    """Polyphase resampling of [time, channel] data.
+def _sinc_resample_kernel(orig_freq, new_freq, lowpass_filter_width=6, rolloff=0.99):
+    """Polyphase hann-windowed-sinc kernel, one row per output phase.
 
-    The reference uses torchaudio's bandlimited-sinc Resample
-    (extract_samples.py:107-126); scipy's resample_poly with a Kaiser window
-    is the same family of filter (windowed sinc) and matches within ~1e-3 of
-    full scale for integer ratios like the 16 kHz -> 8 kHz MOD path.
+    This is torchaudio's published bandlimited-sinc interpolation algorithm
+    (torchaudio.transforms.Resample defaults: sinc_interp_hann,
+    lowpass_filter_width=6, rolloff=0.99), which the reference applies at
+    extract_samples.py:107-126 with dtype=float (float64). Each row p holds
+    F(u) = sinc(pi*base*u) * hann(base*u) * base/orig sampled at
+    u = (k - width)/orig - p/new, so output sample m*new + p is the dot of
+    row p with input samples starting at m*orig - width.
+
+    Returns (kernel [new_freq, taps] float64, width).
     """
-    from math import gcd
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = math.ceil(lowpass_filter_width * orig_freq / base_freq)
+    idx = np.arange(-width, width + orig_freq, dtype=np.float64) / orig_freq
+    t = -np.arange(new_freq, dtype=np.float64)[:, None] / new_freq + idx[None, :]
+    t *= base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * np.pi / lowpass_filter_width / 2.0) ** 2
+    t_pi = t * np.pi
+    kernel = np.where(t_pi == 0.0, 1.0, np.sin(t_pi) / np.where(t_pi == 0.0, 1.0, t_pi))
+    return kernel * window * (base_freq / orig_freq), width
 
-    g = gcd(int(orig_freq), int(new_freq))
-    up, down = int(new_freq) // g, int(orig_freq) // g
-    return sps.resample_poly(x, up, down, axis=0, window=("kaiser", 14.769656459379492))
+
+def resample(x, orig_freq, new_freq, lowpass_filter_width=6, rolloff=0.99):
+    """Bandlimited-sinc resampling of [time, channel] data.
+
+    Bit-for-bit the algorithm the reference runs (torchaudio Resample with
+    default hann-sinc parameters, float64 kernels; reference:
+    extract_samples.py:107-126): pad by (width, width + orig), strided
+    polyphase dot products, trim to ceil(new * len / orig).
+    """
+    g = math.gcd(int(orig_freq), int(new_freq))
+    o, n = int(orig_freq) // g, int(new_freq) // g
+    if o == n:
+        return x
+    x = np.asarray(x)
+    length = x.shape[0]
+    kernel, width = _sinc_resample_kernel(o, n, lowpass_filter_width, rolloff)
+    taps = kernel.shape[1]
+    xt = x.T.astype(np.float64)  # [c, time]
+    padded = np.pad(xt, ((0, 0), (width, width + o)))
+    # windows[c, m, k] = padded[c, m*o + k]
+    windows = np.lib.stride_tricks.sliding_window_view(padded, taps, axis=1)[:, ::o]
+    out = np.einsum("cmk,pk->cmp", windows, kernel)  # [c, m, p]
+    out = out.reshape(xt.shape[0], -1)[:, : math.ceil(n * length / o)]
+    return out.T.astype(x.dtype, copy=False)
 
 
 def split_with_overlap(x, overlap_ratio, interval_len=None, num_interval=None):

@@ -26,6 +26,35 @@ def test_resample_halves_rate_preserves_tone():
     assert err < 1e-3
 
 
+def test_sinc_resample_kernel_golden():
+    """Kernel rows against the published formula evaluated with independent
+    scalar math (torchaudio Resample defaults: hann window, lpw=6,
+    rolloff=0.99). Guards the vectorised construction."""
+    import math
+
+    from focal_tpu.data.preprocess.signal import _sinc_resample_kernel
+
+    for o, n in ((2, 1), (3, 2), (5, 4)):
+        kernel, width = _sinc_resample_kernel(o, n)
+        base = min(o, n) * 0.99
+        assert width == math.ceil(6 * o / base)
+        for p in (0, n - 1):
+            for k in (0, 1, width, kernel.shape[1] - 1):
+                u = (k - width) / o - p / n
+                t = max(-6.0, min(6.0, base * u))
+                window = math.cos(t * math.pi / 12.0) ** 2
+                sinc = 1.0 if t == 0 else math.sin(math.pi * t) / (math.pi * t)
+                want = sinc * window * base / o
+                np.testing.assert_allclose(kernel[p, k], want, rtol=1e-12, atol=1e-15)
+
+
+def test_resample_output_length_rule():
+    """Output length must follow torchaudio's ceil(new * len / orig)."""
+    for o, n, length in ((16000, 8000, 31999), (16000, 8000, 32000), (3, 2, 10)):
+        x = np.zeros((length, 1))
+        assert len(resample(x, o, n)) == int(np.ceil(n * length / o))
+
+
 def test_split_with_overlap():
     x = np.arange(100)[:, None]
     w = split_with_overlap(x, 0.0, interval_len=20)
