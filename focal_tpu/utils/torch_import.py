@@ -185,3 +185,115 @@ def import_deepsense_state_dict(sd, variables, dataset_config, interval_num=None
         if "class_layer.2.weight" in sd:
             _linear(sd, "class_layer.2.", params["class_layer"]["Dense_1"])
     return params, stats
+
+
+def _layer_norm(sd, pt, dst):
+    _set(dst, "scale", _np(sd[pt + "weight"]))
+    _set(dst, "bias", _np(sd[pt + "bias"]))
+
+
+def _mha(sd, pt, dst, num_heads):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention.
+
+    in_proj_weight stacks [Wq; Wk; Wv] as [3E, E] rows; flax wants per-head
+    [E, H, D] kernels (column-major application), so each slice transposes
+    then splits the output axis into heads. out_proj [E, E] -> [H, D, E]."""
+    w = _np(sd[pt + "in_proj_weight"])  # [3E, E]
+    b = _np(sd[pt + "in_proj_bias"])
+    e = w.shape[1]
+    h, d = num_heads, e // num_heads
+    for i, name in enumerate(("query", "key", "value")):
+        _set(dst[name], "kernel", w[i * e : (i + 1) * e].T.reshape(e, h, d))
+        _set(dst[name], "bias", b[i * e : (i + 1) * e].reshape(h, d))
+    _set(dst["out"], "kernel", _np(sd[pt + "out_proj.weight"]).T.reshape(h, d, e))
+    _set(dst["out"], "bias", _np(sd[pt + "out_proj.bias"]))
+
+
+def _attention_fusion(sd, pt, dst, num_heads):
+    """Reference TransformerFusionBlock (FusionModules.py:63-140) ->
+    AttentionFusion (LayerNorm + mean-query MHA)."""
+    _layer_norm(sd, pt + "norm1.", dst["LayerNorm_0"])
+    _mha(sd, pt + "mha.", dst["MultiHeadDotProductAttention_0"], num_heads)
+
+
+def _swin_block(sd, pt, dst):
+    """Reference SwinTransformerBlock (SwinModules.py:171-343) -> SwinBlock."""
+    _layer_norm(sd, pt + "norm1.", dst["norm1"])
+    _set(dst["attn"], "relative_position_bias_table",
+         _np(sd[pt + "attn.relative_position_bias_table"]))
+    _linear(sd, pt + "attn.qkv.", dst["attn"]["qkv"])
+    _linear(sd, pt + "attn.proj.", dst["attn"]["proj"])
+    _layer_norm(sd, pt + "norm2.", dst["norm2"])
+    _linear(sd, pt + "mlp.fc1.", dst["mlp"]["Dense_0"])
+    _linear(sd, pt + "mlp.fc2.", dst["mlp"]["Dense_1"])
+
+
+def _torch_encoder_layer(sd, pt, dst, num_heads):
+    """torch nn.TransformerEncoderLayer (post-norm) -> TransformerEncoderLayer."""
+    _mha(sd, pt + "self_attn.", dst["MultiHeadDotProductAttention_0"], num_heads)
+    _linear(sd, pt + "linear1.", dst["Dense_0"])
+    _linear(sd, pt + "linear2.", dst["Dense_1"])
+    _layer_norm(sd, pt + "norm1.", dst["LayerNorm_0"])
+    _layer_norm(sd, pt + "norm2.", dst["LayerNorm_1"])
+
+
+def import_sw_transformer_state_dict(sd, variables, dataset_config, load_class_layer=True):
+    """Map a reference torch SW_Transformer state_dict into flax params.
+
+    Covers the full surface (reference: src/models/SW_Transformer.py:17-182 +
+    SwinModules.py): patch embeds, APE (when the flax model was built with
+    APE: True), Swin stages with PatchMerging, mod_in layers, multi-location
+    context/fusion, projectors, mod fusion, class head. The model has no
+    BatchNorm, so only params are returned (batch_stats stays empty)."""
+    config = dataset_config["SW_Transformer"]
+    mods = dataset_config["modality_names"]
+    locs = dataset_config["location_names"]
+    params = _plain(variables["params"])
+
+    for loc in locs:
+        for mod in mods:
+            pe = params[f"patch_embed_{loc}_{mod}"]
+            w = _np(sd[f"patch_embed.{loc}.{mod}.proj.weight"])  # [E, C, ph, pw]
+            _set(pe["proj"], "kernel", w.transpose(2, 3, 1, 0))
+            _set(pe["proj"], "bias", _np(sd[f"patch_embed.{loc}.{mod}.proj.bias"]))
+            if f"patch_embed.{loc}.{mod}.norm.weight" in sd and "LayerNorm_0" in pe:
+                _layer_norm(sd, f"patch_embed.{loc}.{mod}.norm.", pe["LayerNorm_0"])
+            if f"absolute_pos_embed_{loc}_{mod}" in params:
+                _set(params, f"absolute_pos_embed_{loc}_{mod}",
+                     _np(sd[f"absolute_pos_embed.{loc}.{mod}"]))
+
+            for i_layer in range(len(config["time_freq_block_num"][mod])):
+                stage = params[f"stage{i_layer}_{loc}_{mod}"]
+                base = f"freq_interval_layers.{loc}.{mod}.{i_layer}."
+                j = 0
+                while base + f"blocks.{j}.norm1.weight" in sd:
+                    _swin_block(sd, base + f"blocks.{j}.", stage[f"block{j}"])
+                    j += 1
+                if base + "downsample.reduction.weight" in sd:
+                    _linear(sd, base + "downsample.reduction.",
+                            stage["downsample"]["reduction"])
+                    _layer_norm(sd, base + "downsample.norm.",
+                                stage["downsample"]["LayerNorm_0"])
+            _linear(sd, f"mod_in_layers.{loc}.{mod}.", params[f"mod_in_layer_{loc}_{mod}"])
+
+    if len(locs) > 1:
+        for mod in mods:
+            i = 0
+            while f"loc_context_layers.{mod}.{i}.norm1.weight" in sd:
+                _torch_encoder_layer(sd, f"loc_context_layers.{mod}.{i}.",
+                                     params[f"loc_context_{mod}_{i}"],
+                                     config["loc_head_num"])
+                i += 1
+            _attention_fusion(sd, f"loc_fusion_layer.{mod}.",
+                              params[f"loc_fusion_{mod}"], config["loc_head_num"])
+
+    for mod in mods:
+        _linear(sd, f"mod_projectors.{mod}.0.", params[f"mod_projector_{mod}"]["Dense_0"])
+        _linear(sd, f"mod_projectors.{mod}.2.", params[f"mod_projector_{mod}"]["Dense_1"])
+    _attention_fusion(sd, "mod_fusion_layers.", params["mod_fusion_layer"],
+                      config["loc_head_num"])
+    if load_class_layer and "class_layer.0.weight" in sd:
+        _linear(sd, "class_layer.0.", params["class_layer"]["Dense_0"])
+        if "class_layer.2.weight" in sd:
+            _linear(sd, "class_layer.2.", params["class_layer"]["Dense_1"])
+    return params, _plain(variables.get("batch_stats", {}))

@@ -81,6 +81,54 @@ def test_deepsense_torch_import_forward_parity(torch_deepsense_and_cfg):
         )
 
 
+def test_sw_transformer_torch_import_forward_parity():
+    """Round-trip the reference torch SW_Transformer (Swin stack + fusion +
+    heads) into flax params and require forward parity on a fixed batch —
+    this simultaneously certifies the whole Swin geometry (windows, shifts,
+    masks, rel-pos bias, merging) against the reference
+    (src/models/SW_Transformer.py, SwinModules.py)."""
+    from focal_tpu.models.sw_transformer import SWTransformer
+    from focal_tpu.params.yaml_utils import load_dataset_config
+    from focal_tpu.utils.reference_loader import import_reference
+    from focal_tpu.utils.torch_import import import_sw_transformer_state_dict
+
+    cfg = dict(load_dataset_config("MOD_TINY"))
+    # the reference hard-codes timm's mlp_ratio=4 (SwinModules.py:200 — the
+    # yaml key is decorative there); MOD_TINY shrinks it, so align for parity
+    cfg["SW_Transformer"] = dict(cfg["SW_Transformer"], mlp_ratio=4.0)
+    TorchSW = import_reference("models.SW_Transformer").SW_Transformer
+    args = SimpleNamespace(
+        dataset_config=cfg, device="cpu", task="vehicle_classification", train_mode="supervised"
+    )
+    torch.manual_seed(0)
+    tm = TorchSW(args)
+    tm.eval()
+
+    model = SWTransformer(dataset_config=cfg, task="vehicle_classification", linear_class_head=True)
+    batch = _fixed_batch(cfg)
+    jx = {loc: {m: jnp.asarray(a) for m, a in mods.items()} for loc, mods in batch.items()}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, jx, train=False, head="both"
+    )
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, _ = import_sw_transformer_state_dict(sd, variables, cfg)
+
+    got = np.asarray(model.apply({"params": params}, jx, train=False, head="class"))
+    with torch.no_grad():
+        tx = {loc: {m: torch.from_numpy(a) for m, a in mods.items()} for loc, mods in batch.items()}
+        want = tm(tx, class_head=True).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    got_proj = model.apply({"params": params}, jx, train=False, head="proj")
+    with torch.no_grad():
+        want_proj = tm(tx, class_head=False, proj_head=True)
+    for mod in cfg["modality_names"]:
+        np.testing.assert_allclose(
+            np.asarray(got_proj[mod]), want_proj[mod].numpy(), atol=1e-4
+        )
+
+
 def test_import_rejects_shape_mismatch(torch_deepsense_and_cfg):
     tm, cfg = torch_deepsense_and_cfg
     from focal_tpu.models.deepsense import DeepSense
