@@ -1,8 +1,9 @@
 """TPU-only self-checks that the CPU-forced pytest suite cannot run.
 
 The test conftest pins JAX to CPU (the virtual 8-device mesh), so kernels
-that need real hardware — the in-kernel-dropout window attention's PRNG —
-have no CI coverage. Run this directly on the TPU host:
+that need real hardware — Mosaic-compiled forward/backward and the
+in-kernel-dropout PRNG — have no CI coverage. Run this directly on the TPU
+host:
 
     PYTHONPATH=. python tools/tpu_selftest.py
 """
@@ -29,18 +30,40 @@ def main():
     rng = np.random.default_rng(0)
     B, H, N, D = 512, 4, 9, 16
     q, k, v = (jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)) for _ in range(3))
-    bias = jnp.asarray(rng.normal(size=(B, H, N, N)).astype(np.float32))
+    bias_l = jnp.asarray(rng.normal(size=(H, N, N, 128)).astype(np.float32))
+    lanes = np.arange(B) % 128
+    bias_b = jnp.asarray(np.asarray(bias_l).transpose(3, 0, 1, 2)[lanes])
 
     # 1. fused kernel vs XLA reference on hardware
-    got = fused_window_attention(q, k, v, bias)
-    want = _xla_attention(q, k, v, bias)
+    got = fused_window_attention(q, k, v, bias_l)
+    want = _xla_attention(q, k, v, bias_b)
     err = float(jnp.abs(got - want).max())
     assert err < 1e-4, f"fused forward mismatch on TPU: {err}"
     print(f"fused forward parity on TPU: max err {err:.2e}")
 
-    # 2. dropout kernel: seeds differ, mean is unbiased, grads finite
+    # 2. fused BACKWARD kernel vs the XLA VJP on hardware (dq/dk/dv/dbias,
+    # including the in-kernel lane reduction of the bias gradient)
+    def loss_fused(q, k, v, bias_l):
+        return jnp.sum(jnp.sin(fused_window_attention(q, k, v, bias_l)))
+
+    def loss_xla(q, k, v, bias_l):
+        bb = bias_l.transpose(3, 0, 1, 2)[jnp.asarray(lanes)]
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, bb)))
+
+    g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3)))(q, k, v, bias_l)
+    g2 = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3)))(q, k, v, bias_l)
+    for name, a, b in zip(("dq", "dk", "dv", "dbias"), g1, g2):
+        e = float(jnp.abs(a - b).max())
+        assert e < 1e-3, f"fused backward {name} mismatch on TPU: {e}"
+        print(f"fused backward parity ({name}): max err {e:.2e}")
+
+    # 3. dropout kernel: seeds differ, mean is unbiased, grads finite
     rate = 0.2
-    outs = [np.asarray(fused_window_attention_dropout(q, k, v, bias, jnp.int32(s), rate)) for s in range(6)]
+
+    def drop(seed, r):
+        return fused_window_attention_dropout(q, k, v, bias_l, jnp.full((1,), seed, jnp.int32), r)
+
+    outs = [np.asarray(drop(s, rate)) for s in range(6)]
     assert not np.allclose(outs[0], outs[1]), "dropout seeds produce identical outputs"
     mean_err = np.abs(np.mean(outs, axis=0) - np.asarray(want)).mean()
     scale = np.abs(np.asarray(want)).mean()
@@ -48,16 +71,27 @@ def main():
     print(f"dropout kernel: seed-variation OK, mean deviation {mean_err / scale:.3f}x of scale")
 
     g = jax.grad(
-        lambda *a: jnp.sum(fused_window_attention_dropout(*a, jnp.int32(7), rate)), argnums=(0, 1, 2, 3)
-    )(q, k, v, bias)
-    assert all(np.isfinite(np.asarray(x)).all() for x in g), "non-finite dropout grads"
+        lambda *a: jnp.sum(drop(7, rate)), argnums=(0,)
+    )(q)
+    assert np.isfinite(np.asarray(g[0])).all(), "non-finite dropout grads"
     print("dropout kernel gradients: finite")
 
-    # 3. near-zero rate converges to the no-dropout kernel
-    almost = fused_window_attention_dropout(q, k, v, bias, jnp.int32(1), 1e-7)
+    # 4. rate->0 limit: forward AND backward converge to the no-dropout
+    # kernel (exercises the backward's PRNG mask regeneration)
+    almost = drop(1, 1e-7)
     err0 = float(jnp.abs(almost - got).max())
-    assert err0 < 1e-3, f"rate->0 limit mismatch: {err0}"
-    print(f"rate->0 limit parity: max err {err0:.2e}")
+    assert err0 < 1e-3, f"rate->0 forward limit mismatch: {err0}"
+
+    g_almost = jax.grad(
+        lambda q, k, v, b: jnp.sum(jnp.sin(
+            fused_window_attention_dropout(q, k, v, b, jnp.full((1,), 1, jnp.int32), 1e-7)
+        )),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, bias_l)
+    for name, a, b in zip(("dq", "dk", "dv", "dbias"), g_almost, g1):
+        e = float(jnp.abs(a - b).max())
+        assert e < 1e-3, f"rate->0 backward limit mismatch ({name}): {e}"
+    print(f"rate->0 limit parity (fwd+bwd): max fwd err {err0:.2e}")
 
     print("TPU selftest: ALL OK")
     return 0
