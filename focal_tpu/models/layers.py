@@ -140,7 +140,13 @@ class BiGRULayer(nn.Module):
     hidden: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_mask=None):
+        """out_mask: optional [t, 2, b, H] multiplier applied to each step's
+        hidden state INSIDE the scan. Inter-layer dropout must enter here
+        rather than as an elementwise op on the stacked [b, t, 2H] output:
+        the TPU fusion emitter aborts (window.pad_low != 0) when it fuses an
+        elementwise multiply into the unrolled scan's stacked-output slices,
+        and optimization barriers do not block that fusion."""
         B, T, C = x.shape
         H = self.hidden
         wi = self.param("wi", nn.initializers.lecun_normal(), (2, C, 3 * H))
@@ -152,16 +158,19 @@ class BiGRULayer(nn.Module):
         # one MXU-friendly batched matmul for every timestep of each direction
         xproj = jnp.einsum("dbtc,dcg->tdbg", both, wi) + bi[:, None]  # [t, 2, b, 3H]
 
-        def step(h, xp):  # h [2, b, H], xp [2, b, 3H]
+        def step(h, xp):  # h [2, b, H], xp [2, b, 3H] (+ mask [2, b, H])
+            if out_mask is not None:
+                xp, m = xp
             hp = jnp.einsum("dbh,dhg->dbg", h, wh) + bh[:, None]
             r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
             z = jax.nn.sigmoid(xp[..., H : 2 * H] + hp[..., H : 2 * H])
             n = jnp.tanh(xp[..., 2 * H :] + r * hp[..., 2 * H :])
             h = (1.0 - z) * n + z * h
-            return h, h
+            return h, h * m if out_mask is not None else h
 
         h0 = jnp.zeros((2, B, H), x.dtype)
-        _, ys = jax.lax.scan(step, h0, xproj, unroll=T)  # [t, 2, b, H]
+        xs = xproj if out_mask is None else (xproj, out_mask)
+        _, ys = jax.lax.scan(step, h0, xs, unroll=T)  # [t, 2, b, H]
         fwd = jnp.swapaxes(ys[:, 0], 0, 1)  # [b, t, H]
         bwd = jnp.swapaxes(ys[::-1, 1], 0, 1)
         return jnp.concatenate([fwd, bwd], axis=-1)
@@ -183,11 +192,25 @@ class BiGRU(nn.Module):
     def __call__(self, x, train: bool):
         # GRU state math stays float32: tiny tensors, recurrent error compounds
         x = x.astype(jnp.float32)
+        H = self.hidden
         for layer in range(self.num_layers):
-            x = BiGRULayer(self.hidden, name=f"gru{layer}")(x)
-            if layer < self.num_layers - 1:
-                # torch GRU applies dropout between stacked layers only
-                x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
+            # torch GRU applies dropout between stacked layers only. The mask
+            # is drawn here (same bernoulli/keep-scale semantics as
+            # nn.Dropout on the [b, t, 2H] output) but applied inside the
+            # producing layer's scan — see BiGRULayer.out_mask for why.
+            mask2 = None
+            if train and self.dropout_ratio > 0.0 and layer < self.num_layers - 1:
+                B, T = x.shape[0], x.shape[1]
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.dropout_ratio, (B, T, 2 * H)
+                )
+                m = keep.astype(jnp.float32) / (1.0 - self.dropout_ratio)
+                # concat output [b,t,:H] is fwd ys[t,0]; [b,t,H:] is bwd
+                # ys[T-1-t,1] — align the mask with the scan's native order
+                mf = jnp.transpose(m[..., :H], (1, 0, 2))  # [t, b, H]
+                mb = jnp.transpose(m[..., H:], (1, 0, 2))[::-1]
+                mask2 = jnp.stack([mf, mb], axis=1)  # [t, 2, b, H]
+            x = BiGRULayer(H, name=f"gru{layer}")(x, out_mask=mask2)
         return jnp.mean(x, axis=1)
 
 

@@ -115,3 +115,31 @@ def test_bigru_order_sensitivity():
     a = m.apply(v, x, train=False)
     b = m.apply(v, x[:, jnp.asarray([3, 1, 5, 0, 4, 2])], train=False)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bigru_inscan_dropout_semantics():
+    """Inter-layer dropout is applied INSIDE the producing scan (TPU
+    fusion-emitter workaround) but must keep nn.Dropout semantics:
+    rng-dependent in train mode, identity in eval, unbiased in expectation."""
+    B, T, C, H = 8, 10, 16, 32
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    m = BiGRU(hidden=H, num_layers=2, dropout_ratio=0.5)
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+
+    eval_out = m.apply(v, x, train=False)
+    eval_out2 = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))
+
+    t1 = m.apply(v, x, train=True, rngs={"dropout": jax.random.key(2)})
+    t2 = m.apply(v, x, train=True, rngs={"dropout": jax.random.key(3)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+    # expectation over many masks approaches the eval output (GRU layer 2 is
+    # nonlinear so only approximately — generous tolerance, tight enough to
+    # catch a missing 1/keep rescale, which shifts the scale by 2x)
+    outs = np.mean(
+        [np.asarray(m.apply(v, x, train=True, rngs={"dropout": jax.random.key(k)}))
+         for k in range(4, 68)], axis=0)
+    scale = np.abs(np.asarray(eval_out)).mean()
+    assert np.abs(outs - np.asarray(eval_out)).mean() < 0.35 * scale
