@@ -52,6 +52,15 @@ def build_parser():
         "Default: bfloat16 on TPU (8-20x faster per step), float32 elsewhere.",
     )
     parser.add_argument(
+        "-prng_impl",
+        type=str,
+        default=None,
+        choices=["threefry2x32", "rbg"],
+        help="JAX PRNG implementation. Default: rbg on TPU (hardware "
+        "generator — threefry dropout masks cost ~25%% of a train step), "
+        "threefry2x32 elsewhere.",
+    )
+    parser.add_argument(
         "-epochs", type=int, default=None, help="Override the number of training epochs from the recipe."
     )
     parser.add_argument(
