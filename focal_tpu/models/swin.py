@@ -74,13 +74,6 @@ def shifted_window_mask(H, W, wh, ww, sh, sw):
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference: SwinModules.py:73-152).
 
-    Takes the whole pre-norm [B, L, C] tensor and does the roll / window
-    partition INSIDE, between the qkv and proj projections. The reference
-    partitions first and projects per-window — mathematically identical
-    (Dense is per-position), but projecting on the flat layout keeps both
-    matmuls' backwards out of the 6-D window layout: the qkv-dw cotangent
-    reformatting alone cost ~10 ms/step at MOD stage-0 sizes (profiled v5e).
-
     use_pallas enables the fused VMEM kernels (forward AND backward). On a
     >1-device mesh the kernels are wrapped in shard_map over the ``data``
     axis (pass ``pallas_mesh``); off-TPU they run in interpreter mode, which
@@ -88,9 +81,7 @@ class WindowAttention(nn.Module):
     """
 
     dim: int
-    input_resolution: Sequence[int]  # (H, W)
-    window_size: Sequence[int]  # (wh, ww) — already shrink-resolved
-    shift_size: Sequence[int]  # (sh, sw) — already shrink-resolved
+    window_size: Sequence[int]  # (wh, ww)
     num_heads: int
     qkv_bias: bool = True
     attn_drop: float = 0.0
@@ -101,21 +92,12 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        B, L, C = x.shape
-        H, W = self.input_resolution
+        B_, N, C = x.shape
         wh, ww = self.window_size
-        sh, sw = self.shift_size
-        shifted = min(sh, sw) > 0
-        N = wh * ww
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, H, W, 3 * C)
-        if shifted:
-            qkv = jnp.roll(qkv, shift=(-sh, -sw), axis=(1, 2))
-        qkv = window_partition(qkv, wh, ww)  # [B_, N, 3C]
-        B_ = qkv.shape[0]
         qkv = qkv.reshape(B_, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         # tiny windows (N<=16): the MXU can't tile 9x9x16 batched matmuls;
@@ -168,31 +150,29 @@ class WindowAttention(nn.Module):
                 out = fused_window_attention_dropout(q, k, v, bias_l, seed, float(self.attn_drop))
             else:
                 out = fused_window_attention(q, k, v, bias_l)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+        if small_window:
+            attn = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32)
         else:
-            if small_window:
-                attn = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32)
-            else:
-                attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
-            attn = attn + bias[None].astype(jnp.float32)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+        attn = attn + bias[None].astype(jnp.float32)
 
-            if mask is not None:
-                nW = mask.shape[0]
-                attn = attn.reshape(B_ // nW, nW, self.num_heads, N, N)
-                attn = attn + jnp.asarray(mask)[None, :, None]
-                attn = attn.reshape(B_, self.num_heads, N, N)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, self.num_heads, N, N)
+            attn = attn + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(B_, self.num_heads, N, N)
 
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-            if small_window:
-                out = (attn[..., None] * v[:, :, None, :, :]).sum(-2)
-            else:
-                out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
-        out = window_reverse(out, wh, ww, H, W)  # [B, H, W, C]
-        if shifted:
-            out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
-        out = out.reshape(B, L, C)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        if small_window:
+            out = (attn[..., None] * v[:, :, None, :, :]).sum(-2)
+        else:
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
@@ -265,18 +245,19 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = WindowAttention(
-            dim=self.dim,
-            input_resolution=(H, W),
-            window_size=(wh, ww),
-            shift_size=(sh, sw),
-            num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias,
-            attn_drop=self.attn_drop,
-            proj_drop=self.drop,
-            dtype=self.dtype,
+        x = x.reshape(B, H, W, C)
+        if shifted:
+            x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        windows = window_partition(x, wh, ww)
+        attn_out = WindowAttention(
+            self.dim, (wh, ww), self.num_heads, self.qkv_bias,
+            self.attn_drop, self.drop, dtype=self.dtype,
             use_pallas=self.use_pallas, pallas_mesh=self.pallas_mesh, name="attn",
-        )(x, mask, train)
+        )(windows, mask, train)
+        x = window_reverse(attn_out, wh, ww, H, W)
+        if shifted:
+            x = jnp.roll(x, shift=(sh, sw), axis=(1, 2))
+        x = x.reshape(B, L, C)
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
