@@ -123,3 +123,54 @@ def test_dp_supervised_step_runs(setup):
         jax.device_put(jnp.arange(32, dtype=jnp.int32), plan.batch_sharded), jax.random.key(0)
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_sw_transformer_pretrain_step_matches_single_device(tmp_path):
+    """8-way DP parity for the SECOND backbone: the Swin stack's windows /
+    shifts / masks must shard over the batch axis without changing the math
+    (loss + SGD-updated params vs the single-device step)."""
+    from focal_tpu.params.cli import build_parser
+    from focal_tpu.params.auto import set_auto_params
+
+    args = build_parser().parse_args(
+        ["-dataset", "MOD_TINY", "-model", "SW_Transformer", "-learn_framework", "FOCAL",
+         "-stage", "pretrain", "-synthetic", "-batch_size", "32"]
+    )
+    args.option = "train"
+    args.output_dir = str(tmp_path)
+    args = set_auto_params(args)
+
+    model = build_backbone(args)
+    augmenter = build_augmenter(args)
+    rng_np = np.random.default_rng(0)
+    data = {
+        "shake": {
+            "seismic": jnp.asarray(rng_np.normal(size=(64, 1, 10, 20)).astype(np.float32)),
+            "audio": jnp.asarray(rng_np.normal(size=(64, 1, 10, 96)).astype(np.float32)),
+        }
+    }
+    sample = jax.jit(augmenter.no)(jax.tree_util.tree_map(lambda a: a[:2], data))
+    state = init_state(args, model, sample, optax.identity(), jax.random.key(0))
+    sgd = optax.sgd(0.01)
+    state = state.replace(tx=sgd, opt_state=sgd.init(state.params))
+    focal = make_focal_loss(args)
+    idx = jnp.arange(32, dtype=jnp.int32)
+    rng = jax.random.key(7)
+
+    state_a = jax.tree_util.tree_map(jnp.copy, state)
+    state_b = jax.tree_util.tree_map(jnp.copy, state)
+
+    step1 = make_pretrain_step(model, augmenter, focal, None)
+    s1, m1 = step1(state_a, data, idx, rng)
+
+    plan = make_mesh_plan(8)
+    step8 = make_pretrain_step(model, augmenter, focal, plan)
+    s8, m8 = step8(put_replicated(state_b, plan), put_replicated(data, plan),
+                   jax.device_put(idx, plan.batch_sharded), rng)
+
+    assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    for (p1, a), (p8, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s1.params)[0],
+        jax.tree_util.tree_flatten_with_path(s8.params)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
