@@ -86,15 +86,13 @@ def temporal_ranking_loss(emb, margin):
 
     intra = jnp.diagonal(seq_dist)  # [n]
     # pair each subsequence's intra distance with its n-1 inter distances
-    # (reference repeats the diagonal n-1 times against the off-diagonals);
-    # static gather indices keep this jit-safe
-    import numpy as _np
-
-    off_cols = jnp.asarray(
-        _np.array([[c for c in range(n) if c != r] for r in range(n)], _np.int32)
-    )
-    inter = jnp.take_along_axis(seq_dist, off_cols, axis=1)  # [n, n-1]
-    return jnp.mean(jnp.maximum(intra[:, None] - inter + margin, 0.0))
+    # (reference repeats the diagonal n-1 times against the off-diagonals).
+    # Masked arithmetic instead of an off-diagonal gather: TPU gathers run
+    # ~1 element/cycle and this [n, n-1] gather (+ its scatter in the
+    # backward) cost ~5 ms/step at batch 1024; the masked mean is identical.
+    hinge = jnp.maximum(intra[:, None] - seq_dist + margin, 0.0)  # [n, n]
+    off_diag = 1.0 - jnp.eye(n, dtype=hinge.dtype)
+    return jnp.sum(hinge * off_diag) / (n * (n - 1))
 
 
 def split_features(feat):
