@@ -194,16 +194,76 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+class _DenseParams(nn.Module):
+    """Kernel/bias with nn.Dense's names, inits and tree position, for paths
+    that consume the weights directly (the fused pallas MLP)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
+        return k, b
+
+
 class Mlp(nn.Module):
-    """fc -> GELU -> drop -> fc -> drop (reference: SwinModules.py:18-34)."""
+    """fc -> GELU -> drop -> fc -> drop (reference: SwinModules.py:18-34).
+
+    With use_pallas the whole block runs as one fused kernel per row tile
+    (focal_tpu.ops.pallas_kernels.fused_mlp*): the [rows, 4C] hidden never
+    reaches HBM — XLA's lowering writes it twice (forward + backward
+    residual), ~300 MB/step at MOD stage-0 sizes. Dropout masks come from
+    the hardware PRNG and are regenerated in the backward.
+    """
 
     hidden: int
     out: int
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.use_pallas:
+            from focal_tpu.ops.pallas_kernels import (
+                fused_mlp,
+                fused_mlp_dropout,
+                sharded_fused_mlp,
+            )
+
+            C = x.shape[-1]
+            w1, b1 = _DenseParams(C, self.hidden, name="Dense_0")()
+            w2, b2 = _DenseParams(self.hidden, self.out, name="Dense_1")()
+            lead = x.shape[:-1]
+            rows = int(np.prod(lead))
+            mesh = self.pallas_mesh
+            n_shards = mesh.size if mesh is not None else 1
+            if rows % max(n_shards, 1) == 0:
+                x2 = x.reshape(rows, C).astype(self.dtype)
+                seed = None
+                if train and self.drop > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
+                        dtype=jnp.int32,
+                    )
+                if n_shards > 1:
+                    y = sharded_fused_mlp(mesh, x2, w1, b1, w2, b2, seed=seed,
+                                          rate=float(self.drop))
+                elif seed is not None:
+                    y = fused_mlp_dropout(x2, w1, b1, w2, b2, seed, float(self.drop))
+                else:
+                    y = fused_mlp(x2, w1, b1, w2, b2)
+                return y.reshape(lead + (self.out,)).astype(self.dtype)
+            # ragged shard fallback: same params, plain math
+            h = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(self.dtype)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.drop, deterministic=not train)(h)
+            y = jnp.dot(h, w2.astype(self.dtype)) + b2.astype(self.dtype)
+            return nn.Dropout(self.drop, deterministic=not train)(y)
+
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -261,7 +321,10 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp")(y, train)
+        y = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype,
+            use_pallas=self.use_pallas, pallas_mesh=self.pallas_mesh, name="mlp",
+        )(y, train)
         return x + DropPath(self.drop_path, name="drop_path2")(y, train)
 
 

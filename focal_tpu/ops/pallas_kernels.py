@@ -435,6 +435,328 @@ def sharded_window_attention(mesh, q, k, v, bias_l, seed=None, rate=0.0):
 
 
 # ---------------------------------------------------------------------------
+# fused MLP: fc1 -> exact GELU -> dropout -> fc2 -> dropout in one VMEM pass
+# per row tile. The hidden [rows, 4C] activation never touches HBM (XLA's
+# lowering materialises it twice — once forward, once as a backward residual:
+# ~300 MB/step of traffic at MOD stage-0 sizes). The backward regenerates
+# both dropout masks from the forward's PRNG seed and recomputes the hidden,
+# accumulating dw/db across row tiles in revisited output blocks.
+# ---------------------------------------------------------------------------
+
+MLP_TILE = 1024  # token rows per kernel invocation
+
+
+def _gelu_exact(z):
+    return 0.5 * z * (1.0 + jax.lax.erf(z * 0.7071067811865476))
+
+
+def _gelu_grad(z):
+    cdf = 0.5 * (1.0 + jax.lax.erf(z * 0.7071067811865476))
+    pdf = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+    return cdf + z * pdf
+
+
+def _mlp_masks(seed_ref, rate, shape_h, shape_o):
+    """Deterministic (seed, tile) keep-masks for both dropout sites; the
+    backward calls this with the same seed/program id to regenerate them."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 92821)
+    threshold = jnp.uint32(rate * 4294967296.0)
+    keep1 = pltpu.bitcast(pltpu.prng_random_bits(shape_h), jnp.uint32) >= threshold
+    keep2 = pltpu.bitcast(pltpu.prng_random_bits(shape_o), jnp.uint32) >= threshold
+    return keep1, keep2
+
+
+def _mlp_fwd_core(x, w1, b1, w2, b2, keep1, keep2, inv_keep):
+    z = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1  # [R, H]
+    h = _gelu_exact(z)
+    if keep1 is not None:
+        h = jnp.where(keep1, h * inv_keep, 0.0)
+    y = jnp.dot(h.astype(x.dtype), w2, preferred_element_type=jnp.float32) + b2
+    if keep2 is not None:
+        y = jnp.where(keep2, y * inv_keep, 0.0)
+    return z, h, y
+
+
+def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
+    x = x_ref[...]
+    _, _, y = _mlp_fwd_core(
+        x, w1_ref[...].astype(x.dtype), b1_ref[...].astype(jnp.float32),
+        w2_ref[...].astype(x.dtype), b2_ref[...].astype(jnp.float32),
+        None, None, 1.0,
+    )
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _mlp_fwd_dropout_kernel(rate, seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
+    x = x_ref[...]
+    w2 = w2_ref[...].astype(x.dtype)
+    keep1, keep2 = _mlp_masks(seed_ref, rate, (x.shape[0], w2.shape[0]), y_ref.shape)
+    _, _, y = _mlp_fwd_core(
+        x, w1_ref[...].astype(x.dtype), b1_ref[...].astype(jnp.float32),
+        w2, b2_ref[...].astype(jnp.float32), keep1, keep2, 1.0 / (1.0 - rate),
+    )
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _mlp_bwd_math(x, w1, b1, w2, b2, g, keep1, keep2, inv_keep):
+    z = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1
+    h = _gelu_exact(z)
+    if keep1 is not None:
+        h_used = jnp.where(keep1, h * inv_keep, 0.0)
+    else:
+        h_used = h
+    g2 = g if keep2 is None else jnp.where(keep2, g * inv_keep, 0.0)  # [R, C]
+    g2b = g2.astype(x.dtype)
+    dh = jnp.dot(g2b, w2.T, preferred_element_type=jnp.float32)  # [R, H]
+    if keep1 is not None:
+        dh = jnp.where(keep1, dh * inv_keep, 0.0)
+    dz = dh * _gelu_grad(z)  # [R, H]
+    dzb = dz.astype(x.dtype)
+    dx = jnp.dot(dzb, w1.T, preferred_element_type=jnp.float32)
+    dw1 = jnp.dot(x.T, dzb, preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dz, axis=0, keepdims=True)
+    dw2 = jnp.dot(h_used.astype(x.dtype).T, g2b, preferred_element_type=jnp.float32)
+    db2 = jnp.sum(g2, axis=0, keepdims=True)
+    return dx, dw1, db1, dw2, db2
+
+
+def _store_mlp_grads(outs, refs):
+    dx, dw1, db1, dw2, db2 = outs
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref = refs
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dw1_ref[...] = dw1_ref[...] + dw1
+        db1_ref[...] = db1_ref[...] + db1
+        dw2_ref[...] = dw2_ref[...] + dw2
+        db2_ref[...] = db2_ref[...] + db2
+
+
+def _mlp_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    x = x_ref[...]
+    outs = _mlp_bwd_math(
+        x, w1_ref[...].astype(x.dtype), b1_ref[...].astype(jnp.float32),
+        w2_ref[...].astype(x.dtype), b2_ref[...].astype(jnp.float32),
+        g_ref[...].astype(jnp.float32), None, None, 1.0,
+    )
+    _store_mlp_grads(outs, (dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref))
+
+
+def _mlp_bwd_dropout_kernel(rate, seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                            dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    x = x_ref[...]
+    w2 = w2_ref[...].astype(x.dtype)
+    keep1, keep2 = _mlp_masks(seed_ref, rate, (x.shape[0], w2.shape[0]), g_ref.shape)
+    outs = _mlp_bwd_math(
+        x, w1_ref[...].astype(x.dtype), b1_ref[...].astype(jnp.float32),
+        w2, b2_ref[...].astype(jnp.float32),
+        g_ref[...].astype(jnp.float32), keep1, keep2, 1.0 / (1.0 - rate),
+    )
+    _store_mlp_grads(outs, (dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref))
+
+
+def _mlp_seed_spec():
+    return pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+
+
+def _mlp_specs(T_pad, C, H, tile):
+    row = lambda i: (i, 0)
+    fixed = lambda i: (0, 0)
+    x_spec = pl.BlockSpec((tile, C), row, memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((C, H), fixed, memory_space=pltpu.VMEM)
+    b1_spec = pl.BlockSpec((1, H), fixed, memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((H, C), fixed, memory_space=pltpu.VMEM)
+    b2_spec = pl.BlockSpec((1, C), fixed, memory_space=pltpu.VMEM)
+    return x_spec, w1_spec, b1_spec, w2_spec, b2_spec
+
+
+def _mlp_pad(x, tile):
+    T = x.shape[0]
+    pad = (-T) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, T
+
+
+def _mlp_fwd_impl(x, w1, b1, w2, b2, seed=None, rate=0.0):
+    C, H = w1.shape
+    xp, T = _mlp_pad(x, MLP_TILE)
+    grid = (xp.shape[0] // MLP_TILE,)
+    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, MLP_TILE)
+    y_spec = pl.BlockSpec((MLP_TILE, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    b1_2d, b2_2d = b1.reshape(1, H), b2.reshape(1, C)
+    if seed is None:
+        y = pl.pallas_call(
+            _mlp_fwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((xp.shape[0], C), x.dtype),
+            grid=grid,
+            in_specs=[x_spec, w1_spec, b1_spec, w2_spec, b2_spec],
+            out_specs=y_spec,
+            interpret=not _on_tpu(),
+        )(xp, w1, b1_2d, w2, b2_2d)
+    else:
+        y = pl.pallas_call(
+            functools.partial(_mlp_fwd_dropout_kernel, rate),
+            out_shape=jax.ShapeDtypeStruct((xp.shape[0], C), x.dtype),
+            grid=grid,
+            in_specs=[_mlp_seed_spec()] + [x_spec, w1_spec, b1_spec, w2_spec, b2_spec],
+            out_specs=y_spec,
+        )(seed, xp, w1, b1_2d, w2, b2_2d)
+    return y[:T]
+
+
+def _mlp_bwd_impl(x, w1, b1, w2, b2, g, seed=None, rate=0.0):
+    C, H = w1.shape
+    xp, T = _mlp_pad(x, MLP_TILE)
+    gp, _ = _mlp_pad(g, MLP_TILE)
+    grid = (xp.shape[0] // MLP_TILE,)
+    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, MLP_TILE)
+    g_spec = pl.BlockSpec((MLP_TILE, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((xp.shape[0], C), x.dtype),   # dx
+        jax.ShapeDtypeStruct((C, H), jnp.float32),          # dw1
+        jax.ShapeDtypeStruct((1, H), jnp.float32),          # db1
+        jax.ShapeDtypeStruct((H, C), jnp.float32),          # dw2
+        jax.ShapeDtypeStruct((1, C), jnp.float32),          # db2
+    )
+    out_specs = (
+        pl.BlockSpec((MLP_TILE, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        w1_spec, b1_spec, w2_spec, b2_spec,
+    )
+    b1_2d, b2_2d = b1.reshape(1, H), b2.reshape(1, C)
+    if seed is None:
+        dx, dw1, db1, dw2, db2 = pl.pallas_call(
+            _mlp_bwd_kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[x_spec, w1_spec, b1_spec, w2_spec, b2_spec, g_spec],
+            out_specs=out_specs,
+            interpret=not _on_tpu(),
+        )(xp, w1, b1_2d, w2, b2_2d, gp)
+    else:
+        dx, dw1, db1, dw2, db2 = pl.pallas_call(
+            functools.partial(_mlp_bwd_dropout_kernel, rate),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[_mlp_seed_spec()] + [x_spec, w1_spec, b1_spec, w2_spec, b2_spec, g_spec],
+            out_specs=out_specs,
+        )(seed, xp, w1, b1_2d, w2, b2_2d, gp)
+    return dx[:T], dw1, db1.reshape(H), dw2, db2.reshape(C)
+
+
+@jax.custom_vjp
+def fused_mlp(x, w1, b1, w2, b2):
+    """fc1 -> exact-erf GELU -> fc2 on [T, C] rows, fully fused fwd+bwd.
+    Weights are cast to x's dtype for the MXU dots (f32 accumulation), so a
+    bf16 model matches Dense(bf16) -> gelu -> Dense(bf16) within rounding and
+    the f32 interpret-mode tests are exact to ~1e-6.
+    """
+    return _mlp_fwd_impl(x, w1, b1, w2, b2)
+
+
+def _fmlp_fwd(x, w1, b1, w2, b2):
+    return _mlp_fwd_impl(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _fmlp_bwd(res, g):
+    return _mlp_bwd_impl(*res, g)
+
+
+fused_mlp.defvjp(_fmlp_fwd, _fmlp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_mlp_dropout(x, w1, b1, w2, b2, seed, rate):
+    """fused_mlp with dropout after the GELU and after fc2 (the reference's
+    Mlp places one after each layer, same rate). seed: int32 [1]; TPU-only
+    (hardware PRNG); the backward regenerates both masks from the seed."""
+    return _mlp_fwd_impl(x, w1, b1, w2, b2, seed=seed, rate=rate)
+
+
+def _fmlp_fwd_dropout(x, w1, b1, w2, b2, seed, rate):
+    return _mlp_fwd_impl(x, w1, b1, w2, b2, seed=seed, rate=rate), (x, w1, b1, w2, b2, seed)
+
+
+def _fmlp_bwd_dropout(rate, res, g):
+    x, w1, b1, w2, b2, seed = res
+    return _mlp_bwd_impl(x, w1, b1, w2, b2, g, seed=seed, rate=rate) + (None,)
+
+
+fused_mlp_dropout.defvjp(_fmlp_fwd_dropout, _fmlp_bwd_dropout)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_mlp_op(mesh, rate, with_dropout):
+    """shard_map wrap: rows shard over ``data``, weights replicate, and the
+    weight/bias gradients psum over the axis (manual VJP — same reason as
+    _sharded_op)."""
+    data, repl = P("data"), P()
+
+    def _local_seed(seed):
+        return seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
+
+    if with_dropout:
+        fwd_specs = (data, repl, repl, repl, repl, repl)
+
+        def fwd_body(x, w1, b1, w2, b2, seed):
+            return _mlp_fwd_impl(x, w1, b1, w2, b2, seed=_local_seed(seed), rate=rate)
+
+        def bwd_body(x, w1, b1, w2, b2, g, seed):
+            dx, dw1, db1, dw2, db2 = _mlp_bwd_impl(
+                x, w1, b1, w2, b2, g, seed=_local_seed(seed), rate=rate
+            )
+            return dx, *jax.lax.psum((dw1, db1, dw2, db2), "data")
+
+    else:
+        fwd_specs = (data, repl, repl, repl, repl)
+
+        def fwd_body(x, w1, b1, w2, b2):
+            return _mlp_fwd_impl(x, w1, b1, w2, b2)
+
+        def bwd_body(x, w1, b1, w2, b2, g):
+            dx, dw1, db1, dw2, db2 = _mlp_bwd_impl(x, w1, b1, w2, b2, g)
+            return dx, *jax.lax.psum((dw1, db1, dw2, db2), "data")
+
+    fwd_sm = jax.shard_map(fwd_body, mesh=mesh, in_specs=fwd_specs,
+                           out_specs=data, check_vma=False)
+    bwd_specs = fwd_specs[:5] + (data,) + fwd_specs[5:]
+    bwd_sm = jax.shard_map(bwd_body, mesh=mesh, in_specs=bwd_specs,
+                           out_specs=(data, repl, repl, repl, repl), check_vma=False)
+
+    @jax.custom_vjp
+    def op(x, w1, b1, w2, b2, *seed):
+        return fwd_sm(x, w1, b1, w2, b2, *seed)
+
+    def op_fwd(x, w1, b1, w2, b2, *seed):
+        return fwd_sm(x, w1, b1, w2, b2, *seed), (x, w1, b1, w2, b2, seed)
+
+    def op_bwd(res, g):
+        x, w1, b1, w2, b2, seed = res
+        dx, dw1, db1, dw2, db2 = bwd_sm(x, w1, b1, w2, b2, g, *seed)
+        return (dx, dw1, db1, dw2, db2) + (None,) * len(seed)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def sharded_fused_mlp(mesh, x, w1, b1, w2, b2, seed=None, rate=0.0):
+    """fused_mlp under shard_map over the mesh's ``data`` axis (row-parallel;
+    callers ensure the row count shards evenly)."""
+    if seed is None:
+        return _sharded_mlp_op(mesh, 0.0, False)(x, w1, b1, w2, b2)
+    return _sharded_mlp_op(mesh, float(rate), True)(x, w1, b1, w2, b2, seed)
+
+
+# ---------------------------------------------------------------------------
 # reference formulation (tests + fallback math)
 # ---------------------------------------------------------------------------
 

@@ -182,3 +182,96 @@ def test_fused_dropout_tpu():
     )(q, k, v, bias_l)
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
+
+
+def _mlp_ref(x, w1, b1, w2, b2):
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    return h @ w2 + b2
+
+
+def _mlp_inputs(T=700, C=64, H=256, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(T, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    return x, w1, b1, w2, b2
+
+
+def test_fused_mlp_matches_reference():
+    from focal_tpu.ops.pallas_kernels import fused_mlp
+
+    x, w1, b1, w2, b2 = _mlp_inputs()
+    got = fused_mlp(x, w1, b1, w2, b2)
+    want = _mlp_ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_mlp_grads_match_reference():
+    """Backward kernel (dx + tile-accumulated dw/db) vs the XLA VJP,
+    including the zero-padded ragged final tile."""
+    from focal_tpu.ops.pallas_kernels import fused_mlp
+
+    x, w1, b1, w2, b2 = _mlp_inputs(T=1100)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    g1 = jax.grad(loss(fused_mlp), argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g2 = jax.grad(loss(_mlp_ref), argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4, err_msg=name
+        )
+
+
+def test_sharded_fused_mlp_matches_single_device():
+    from focal_tpu.parallel.mesh import make_mesh_plan
+    from focal_tpu.ops.pallas_kernels import fused_mlp, sharded_fused_mlp
+
+    plan = make_mesh_plan(8)
+    if plan is None:
+        pytest.skip("needs the 8-device virtual mesh")
+    x, w1, b1, w2, b2 = _mlp_inputs(T=1600)  # 200 rows per shard
+
+    out_s = sharded_fused_mlp(plan.mesh, x, w1, b1, w2, b2)
+    out_p = fused_mlp(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p), atol=2e-5, rtol=1e-5)
+
+    def loss_s(*a):
+        return jnp.sum(jnp.sin(sharded_fused_mlp(plan.mesh, *a)))
+
+    def loss_p(*a):
+        return jnp.sum(jnp.sin(fused_mlp(*a)))
+
+    g_s = jax.jit(jax.grad(loss_s, argnums=(0, 1, 2, 3, 4)))(x, w1, b1, w2, b2)
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g_s, g_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4, err_msg=name
+        )
+
+
+def test_mlp_module_pallas_path_matches_plain():
+    """swin.Mlp with use_pallas (interpret mode) == the nn.Dense path, same
+    params (the _DenseParams declaration must mirror nn.Dense exactly)."""
+    from focal_tpu.models.swin import Mlp
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 36, 64)).astype(np.float32))
+    plain = Mlp(hidden=256, out=64, drop=0.2, use_pallas=False)
+    fused = Mlp(hidden=256, out=64, drop=0.2, use_pallas=True)
+    v = plain.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    v2 = fused.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(v)[0],
+        jax.tree_util.tree_flatten_with_path(v2)[0],
+    ):
+        assert np.shape(a) == np.shape(b), (p1, p2)
+    out_plain = plain.apply(v, x, train=False)
+    out_fused = fused.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_plain), atol=2e-5, rtol=1e-5
+    )
