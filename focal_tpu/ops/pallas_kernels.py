@@ -446,12 +446,24 @@ def sharded_window_attention(mesh, q, k, v, bias_l, seed=None, rate=0.0):
 MLP_TILE = 1024  # token rows per kernel invocation
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation (max abs err
+    1.5e-7): Mosaic has no erf primitive, and 1.5e-7 is far below bf16
+    resolution. Sign-symmetric."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736) * t
+            + 0.254829592) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_exact(z):
-    return 0.5 * z * (1.0 + jax.lax.erf(z * 0.7071067811865476))
+    return 0.5 * z * (1.0 + _erf(z * 0.7071067811865476))
 
 
 def _gelu_grad(z):
-    cdf = 0.5 * (1.0 + jax.lax.erf(z * 0.7071067811865476))
+    cdf = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
     pdf = jnp.exp(-0.5 * z * z) * 0.3989422804014327
     return cdf + z * pdf
 
