@@ -443,7 +443,16 @@ def sharded_window_attention(mesh, q, k, v, bias_l, seed=None, rate=0.0):
 # accumulating dw/db across row tiles in revisited output blocks.
 # ---------------------------------------------------------------------------
 
-MLP_TILE = 1024  # token rows per kernel invocation
+MLP_TILE = 1024  # max token rows per kernel invocation
+
+
+def _mlp_tile(C, H):
+    # live f32 working set ~ tile * (4H + 3C) floats (z/h/dh/dz + x/g/dx)
+    # plus 3 C*H weight/grad buffers; keep it under the scoped-VMEM limit
+    tile = MLP_TILE
+    while tile > 128 and tile * (4 * H + 3 * C) * 4 > 7 * 1024 * 1024:
+        tile //= 2
+    return tile
 
 
 def _erf(x):
@@ -601,10 +610,11 @@ def _mlp_pad(x, tile):
 
 def _mlp_fwd_impl(x, w1, b1, w2, b2, seed=None, rate=0.0):
     C, H = w1.shape
-    xp, T = _mlp_pad(x, MLP_TILE)
-    grid = (xp.shape[0] // MLP_TILE,)
-    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, MLP_TILE)
-    y_spec = pl.BlockSpec((MLP_TILE, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile = _mlp_tile(C, H)
+    xp, T = _mlp_pad(x, tile)
+    grid = (xp.shape[0] // tile,)
+    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, tile)
+    y_spec = pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     b1_2d, b2_2d = b1.reshape(1, H), b2.reshape(1, C)
     if seed is None:
         y = pl.pallas_call(
@@ -628,11 +638,12 @@ def _mlp_fwd_impl(x, w1, b1, w2, b2, seed=None, rate=0.0):
 
 def _mlp_bwd_impl(x, w1, b1, w2, b2, g, seed=None, rate=0.0):
     C, H = w1.shape
-    xp, T = _mlp_pad(x, MLP_TILE)
-    gp, _ = _mlp_pad(g, MLP_TILE)
-    grid = (xp.shape[0] // MLP_TILE,)
-    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, MLP_TILE)
-    g_spec = pl.BlockSpec((MLP_TILE, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile = _mlp_tile(C, H)
+    xp, T = _mlp_pad(x, tile)
+    gp, _ = _mlp_pad(g, tile)
+    grid = (xp.shape[0] // tile,)
+    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, tile)
+    g_spec = pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((xp.shape[0], C), x.dtype),   # dx
         jax.ShapeDtypeStruct((C, H), jnp.float32),          # dw1
@@ -641,7 +652,7 @@ def _mlp_bwd_impl(x, w1, b1, w2, b2, g, seed=None, rate=0.0):
         jax.ShapeDtypeStruct((1, C), jnp.float32),          # db2
     )
     out_specs = (
-        pl.BlockSpec((MLP_TILE, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         w1_spec, b1_spec, w2_spec, b2_spec,
     )
     b1_2d, b2_2d = b1.reshape(1, H), b2.reshape(1, C)
