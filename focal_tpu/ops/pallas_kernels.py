@@ -589,7 +589,7 @@ def _mlp_seed_spec():
     return pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
 
 
-def _mlp_specs(T_pad, C, H, tile):
+def _mlp_specs(C, H, tile):
     row = lambda i: (i, 0)
     fixed = lambda i: (0, 0)
     x_spec = pl.BlockSpec((tile, C), row, memory_space=pltpu.VMEM)
@@ -613,7 +613,7 @@ def _mlp_fwd_impl(x, w1, b1, w2, b2, seed=None, rate=0.0):
     tile = _mlp_tile(C, H)
     xp, T = _mlp_pad(x, tile)
     grid = (xp.shape[0] // tile,)
-    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, tile)
+    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(C, H, tile)
     y_spec = pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     b1_2d, b2_2d = b1.reshape(1, H), b2.reshape(1, C)
     if seed is None:
@@ -642,7 +642,7 @@ def _mlp_bwd_impl(x, w1, b1, w2, b2, g, seed=None, rate=0.0):
     xp, T = _mlp_pad(x, tile)
     gp, _ = _mlp_pad(g, tile)
     grid = (xp.shape[0] // tile,)
-    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(xp.shape[0], C, H, tile)
+    x_spec, w1_spec, b1_spec, w2_spec, b2_spec = _mlp_specs(C, H, tile)
     g_spec = pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((xp.shape[0], C), x.dtype),   # dx
