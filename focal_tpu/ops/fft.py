@@ -15,10 +15,23 @@ import jax.numpy as jnp
 
 
 def fft_mod(x):
-    """FFT one modality array [b, c, i, s] -> [b, 2c, i, s] (interleaved)."""
+    """FFT one modality array [b, c, i, s] -> [b, 2c, i, s] (interleaved).
+
+    The input is real, so the full spectrum is computed as an rfft plus its
+    conjugate mirror (X[k] = conj(X[s-k])) — identical values at half the
+    FFT work. Falls back to the complex FFT for odd lengths.
+    """
     b, c, i, s = x.shape
-    freq = jnp.fft.fft(x.astype(jnp.float32), axis=-1)
-    out = jnp.stack([freq.real, freq.imag], axis=2)  # [b, c, 2, i, s]
+    xf = x.astype(jnp.float32)
+    if s % 2 == 0:
+        half = jnp.fft.rfft(xf, axis=-1)  # [b, c, i, s//2 + 1]
+        re, im = half.real, half.imag
+        re_full = jnp.concatenate([re, re[..., -2:0:-1]], axis=-1)
+        im_full = jnp.concatenate([im, -im[..., -2:0:-1]], axis=-1)
+        out = jnp.stack([re_full, im_full], axis=2)  # [b, c, 2, i, s]
+    else:
+        freq = jnp.fft.fft(xf, axis=-1)
+        out = jnp.stack([freq.real, freq.imag], axis=2)
     return out.reshape(b, 2 * c, i, s)
 
 
