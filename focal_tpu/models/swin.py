@@ -71,6 +71,17 @@ def shifted_window_mask(H, W, wh, ww, sh, sw):
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+def _remat_drop(module, x, rate, train):
+    """Dropout whose backward regenerates the mask from the key instead of
+    storing it as a residual (focal_tpu.ops.dropout) — on big activations the
+    stored masks are real HBM traffic. Identity in eval / rate==0."""
+    if not train or rate == 0.0:
+        return x
+    from focal_tpu.ops.dropout import remat_dropout
+
+    return remat_dropout(x, module.make_rng("dropout"), float(rate))
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference: SwinModules.py:73-152).
 
@@ -152,7 +163,7 @@ class WindowAttention(nn.Module):
                 out = fused_window_attention(q, k, v, bias_l)
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
             out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
-            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+            return _remat_drop(self, out, self.proj_drop, train)
 
         if small_window:
             attn = (q[:, :, :, None, :] * k[:, :, None, :, :]).sum(-1).astype(jnp.float32)
@@ -167,14 +178,14 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_, self.num_heads, N, N)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        attn = _remat_drop(self, attn, self.attn_drop, train)
         if small_window:
             out = (attn[..., None] * v[:, :, None, :, :]).sum(-2)
         else:
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
-        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return _remat_drop(self, out, self.proj_drop, train)
 
 
 class DropPath(nn.Module):
@@ -260,15 +271,15 @@ class Mlp(nn.Module):
             # ragged shard fallback: same params, plain math
             h = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(self.dtype)
             h = nn.gelu(h, approximate=False)
-            h = nn.Dropout(self.drop, deterministic=not train)(h)
+            h = _remat_drop(self, h, self.drop, train)
             y = jnp.dot(h, w2.astype(self.dtype)) + b2.astype(self.dtype)
-            return nn.Dropout(self.drop, deterministic=not train)(y)
+            return _remat_drop(self, y, self.drop, train)
 
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
-        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = _remat_drop(self, x, self.drop, train)
         x = nn.Dense(self.out, dtype=self.dtype)(x)
-        return nn.Dropout(self.drop, deterministic=not train)(x)
+        return _remat_drop(self, x, self.drop, train)
 
 
 class SwinBlock(nn.Module):

@@ -202,3 +202,28 @@ def test_random_pipeline_covers_pool(pipelines):
         if not np.allclose(out, base, atol=1e-5):
             n_diff += 1
     assert n_diff > 0
+
+
+def test_remat_dropout_matches_standard_formulation():
+    """remat_dropout stores only the key: values AND gradients must equal the
+    standard where(bernoulli(key)) formulation exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from focal_tpu.ops.dropout import remat_dropout
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 24, 32)).astype(np.float32))
+    key = jax.random.key(3)
+    rate = 0.3
+
+    def plain(x):
+        keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+    got = remat_dropout(x, key, rate)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain(x)))
+
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(remat_dropout(a, key, rate))))(x)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.sin(plain(a))))(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
