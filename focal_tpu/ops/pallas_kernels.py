@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for fused window attention.
+"""Pallas TPU kernels: fused window attention (+ an opt-in fused MLP).
 
 The Swin towers spend most of their time on attention over tiny (<=16 token)
 windows. XLA's batched-matmul lowering cannot tile 9x9x16 contractions onto
