@@ -93,6 +93,52 @@ def main():
         assert e < 1e-3, f"rate->0 backward limit mismatch ({name}): {e}"
     print(f"rate->0 limit parity (fwd+bwd): max fwd err {err0:.2e}")
 
+    # 5. opt-in fused MLP: hardware fwd/bwd parity and the dropout variant's
+    # mask regeneration (rate->0 limit + seed variation)
+    from focal_tpu.ops.pallas_kernels import fused_mlp, fused_mlp_dropout
+
+    x = jnp.asarray(rng.normal(size=(1500, 64)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(256,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+
+    def mlp_ref(x, w1, b1, w2, b2):
+        h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+        return h @ w2 + b2
+
+    got = fused_mlp(x, w1, b1, w2, b2)
+    want = mlp_ref(x, w1, b1, w2, b2)
+    # Mosaic lowers in-kernel f32 dots as single-pass bf16 on the MXU
+    # (~1e-3 abs at these magnitudes); the production path feeds bf16 anyway
+    e = float(jnp.abs(got - want).max())
+    assert e < 5e-3, f"fused MLP forward mismatch on TPU: {e}"
+    g1 = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.sin(fused_mlp(*a))), argnums=(0, 1, 2, 3, 4)))(
+        x, w1, b1, w2, b2
+    )
+    g2 = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.sin(mlp_ref(*a))), argnums=(0, 1, 2, 3, 4)))(
+        x, w1, b1, w2, b2
+    )
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g1, g2):
+        e = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert e < 2e-2, f"fused MLP backward {name} mismatch on TPU: {e}"
+    print("fused MLP fwd+bwd parity on TPU: OK")
+
+    s1 = jnp.full((1,), 5, jnp.int32)
+    d1 = fused_mlp_dropout(x, w1, b1, w2, b2, s1, 0.3)
+    d2 = fused_mlp_dropout(x, w1, b1, w2, b2, jnp.full((1,), 6, jnp.int32), 0.3)
+    assert not np.allclose(np.asarray(d1), np.asarray(d2)), "MLP dropout seeds identical"
+    almost = fused_mlp_dropout(x, w1, b1, w2, b2, s1, 1e-7)
+    e = float(jnp.abs(almost - got).max())
+    assert e < 5e-3, f"MLP dropout rate->0 limit mismatch: {e}"
+    ga = jax.jit(jax.grad(
+        lambda *a: jnp.sum(jnp.sin(fused_mlp_dropout(*a, s1, 1e-7))), argnums=(0, 1, 2, 3, 4)
+    ))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), ga, g1):
+        e = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert e < 1e-2, f"MLP dropout rate->0 backward mismatch ({name}): {e}"
+    print("fused MLP dropout: seed variation + rate->0 fwd/bwd limits OK")
+
     print("TPU selftest: ALL OK")
     return 0
 
