@@ -133,11 +133,21 @@ class WindowAttention(nn.Module):
         dropout_active = train and self.attn_drop > 0.0
         mesh = self.pallas_mesh
         n_shards = mesh.size if mesh is not None else 1
+        from focal_tpu.ops.pallas_kernels import _on_tpu
+
+        # Gate conditions, in order: tiny-window kernel only; lane-periodic
+        # bias needs nW | 128; the window batch must shard evenly AND each
+        # shard's window count must stay a multiple of nW (the shift mask is
+        # applied by lane position — splitting a sample's windows across
+        # shards would pair masks with the wrong windows); the dropout
+        # kernels use the hardware PRNG, which has no interpreter fallback.
         use_fused = (
             small_window
             and self.use_pallas
             and (mask is None or 128 % mask.shape[0] == 0)
             and B_ % max(n_shards, 1) == 0
+            and (mask is None or (B_ // max(n_shards, 1)) % mask.shape[0] == 0)
+            and (not dropout_active or _on_tpu())
         )
         if use_fused:
             from focal_tpu.ops.pallas_kernels import (

@@ -63,6 +63,16 @@ def _pick_tile(N, D, B, n_nd_bufs, n_nn_bufs):
     return tile
 
 
+def _dropout_tile(N, D, B):
+    """Tile shared by the dropout forward AND backward. The keep-mask is
+    regenerated in the backward from (seed, program ids, tile-shaped PRNG
+    draw), so both passes must use an identical tile or the backward applies
+    a different mask than the forward did (silently wrong gradients — e.g.
+    at D=64 the fwd-sized pick is 512 but the bwd-sized pick is 256). Sized
+    for the backward's larger working set (7 [N,D,TB] + 6 [N,N,TB] buffers)."""
+    return _pick_tile(N, D, B, n_nd_bufs=7, n_nn_bufs=6)
+
+
 def _expand_bias(bias, tile):
     """[N, N, 128] -> [N, N, tile] by repeating whole 128-lane registers."""
     reps = tile // LANE
@@ -285,7 +295,10 @@ def _to_lanes(arrs, tile):
 
 def _fwd_impl(q, k, v, bias_l, seed=None, rate=0.0):
     B, H, N, D = q.shape
-    tile = _pick_tile(N, D, B, n_nd_bufs=4, n_nn_bufs=4)
+    if seed is None:
+        tile = _pick_tile(N, D, B, n_nd_bufs=4, n_nn_bufs=4)
+    else:
+        tile = _dropout_tile(N, D, B)  # MUST match the backward's tile
     qt, kt, vt = _to_lanes((q, k, v), tile)
     out_t = _call_forward(qt, kt, vt, bias_l, tile, seed=seed, rate=rate)
     return out_t.transpose(3, 0, 1, 2)[:B]
@@ -293,7 +306,8 @@ def _fwd_impl(q, k, v, bias_l, seed=None, rate=0.0):
 
 def _bwd_impl(q, k, v, bias_l, g, seed=None, rate=0.0):
     B, H, N, D = q.shape
-    # backward holds ~7 [N,D,TB] and ~6 [N,N,TB] live f32 buffers
+    # backward holds ~7 [N,D,TB] and ~6 [N,N,TB] live f32 buffers; this is
+    # _dropout_tile's sizing, so dropout fwd and bwd tiles agree by design
     tile = _pick_tile(N, D, B, n_nd_bufs=7, n_nn_bufs=6)
     qt, kt, vt, gt = _to_lanes((q, k, v, g), tile)
     dq_t, dk_t, dv_t, dbias = _call_backward(qt, kt, vt, bias_l, gt, tile, seed=seed, rate=rate)

@@ -275,3 +275,39 @@ def test_mlp_module_pallas_path_matches_plain():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_plain), atol=2e-5, rtol=1e-5
     )
+
+
+def test_dropout_fwd_bwd_tiles_agree(monkeypatch):
+    """Regression (round-2 ADVICE high): the dropout keep-mask is regenerated
+    in the backward from (seed, program ids, tile-shaped PRNG draw), so the
+    forward and backward MUST pick the same lane tile. Before the fix the
+    forward sized its tile for 4/4 VMEM buffers and the backward for 7/6 —
+    at D=64 they disagreed (512 vs 256) and gradients were silently wrong
+    whenever attn_drop > 0. Captures the tile passed to the pallas plumbing
+    without running the kernels (the dropout kernels need hardware PRNG)."""
+    from focal_tpu.ops import pallas_kernels as pk
+
+    # prove the check is non-vacuous: the old fwd sizing differs at D=64
+    assert pk._pick_tile(9, 64, 4096, n_nd_bufs=4, n_nn_bufs=4) != pk._dropout_tile(9, 64, 4096)
+
+    captured = {}
+
+    def fake_fwd(qt, kt, vt, bias_l, tile, seed=None, rate=0.0):
+        captured["fwd"] = tile
+        return jnp.zeros(qt.shape, qt.dtype)
+
+    def fake_bwd(qt, kt, vt, bias_l, gt, tile, seed=None, rate=0.0):
+        captured["bwd"] = tile
+        H, N, D, B = qt.shape
+        z = jnp.zeros(qt.shape, qt.dtype)
+        return z, z, z, jnp.zeros((H, N, N, 128), jnp.float32)
+
+    monkeypatch.setattr(pk, "_call_forward", fake_fwd)
+    monkeypatch.setattr(pk, "_call_backward", fake_bwd)
+    seed = jnp.zeros((1,), jnp.int32)
+    for H, N, D, B in [(4, 9, 16, 4096), (4, 9, 64, 4096), (8, 16, 32, 2048), (4, 9, 64, 256)]:
+        q = jnp.zeros((B, H, N, D), jnp.float32)
+        bias_l = jnp.zeros((H, N, N, 128), jnp.float32)
+        pk._fwd_impl(q, q, q, bias_l, seed=seed, rate=0.2)
+        pk._bwd_impl(q, q, q, bias_l, q, seed=seed, rate=0.2)
+        assert captured["fwd"] == captured["bwd"], (H, N, D, B)

@@ -246,3 +246,56 @@ def test_mlp_ragged_shard_fallback_matches_fused():
     out_fb = fused.apply(v, x, train=False)
     out_pl = plain.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(out_fb), np.asarray(out_pl), atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_gate_rejects_mid_sample_window_splits():
+    """Regression (round-2 ADVICE medium): with a shift mask, the fused
+    sharded path is only valid when each device's shard holds whole samples
+    (shard window count divisible by nW) — the lane-periodic mask layout
+    pairs masks with windows by position within the shard. 8 devices x 8
+    windows (4 samples x nW=2) passes the old B_ % n_shards gate but splits
+    samples mid-window; the gate must now fall back to the XLA path, whose
+    output matches the unsharded module exactly."""
+    import jax.numpy as jnp
+
+    from focal_tpu.models.swin import WindowAttention, shifted_window_mask
+    from focal_tpu.parallel.mesh import make_mesh_plan
+
+    plan = make_mesh_plan(8)
+    if plan is None:
+        pytest.skip("needs the 8-device virtual mesh")
+    rng = np.random.default_rng(0)
+    N, C = 4, 32
+    mask = shifted_window_mask(2, 4, 2, 2, 1, 1)  # nW = 2
+    assert mask.shape[0] == 2
+    x = jnp.asarray(rng.normal(size=(8, N, C)).astype(np.float32))
+
+    plain = WindowAttention(dim=C, window_size=(2, 2), num_heads=4, use_pallas=False)
+    sharded = WindowAttention(
+        dim=C, window_size=(2, 2), num_heads=4, use_pallas=True, pallas_mesh=plan.mesh
+    )
+    v = plain.init({"params": jax.random.key(0)}, x, mask, train=False)
+    out_plain = plain.apply(v, x, mask, train=False)
+    out_sharded = sharded.apply(v, x, mask, train=False)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_plain), atol=1e-6)
+
+
+def test_pallas_dropout_training_falls_back_off_tpu():
+    """Regression (round-2 ADVICE low): use_pallas + train + attn_drop > 0
+    off-TPU must fall through to the XLA attention path (the in-kernel
+    dropout PRNG has no interpreter support) instead of failing at runtime,
+    and must produce the exact XLA-path output under the same rng."""
+    import jax.numpy as jnp
+
+    from focal_tpu.models.swin import WindowAttention
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 9, 32)).astype(np.float32))
+    kw = dict(dim=32, window_size=(3, 3), num_heads=4, attn_drop=0.2, proj_drop=0.1)
+    plain = WindowAttention(use_pallas=False, **kw)
+    fused = WindowAttention(use_pallas=True, **kw)
+    v = plain.init({"params": jax.random.key(0)}, x, None, train=False)
+    rngs = {"dropout": jax.random.key(7)}
+    out_plain = plain.apply(v, x, None, train=True, rngs=rngs)
+    out_fused = fused.apply(v, x, None, train=True, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain), atol=1e-6)

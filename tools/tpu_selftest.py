@@ -93,6 +93,36 @@ def main():
         assert e < 1e-3, f"rate->0 backward limit mismatch ({name}): {e}"
     print(f"rate->0 limit parity (fwd+bwd): max fwd err {err0:.2e}")
 
+    # 4b. dropout mask agreement between forward and backward at D=64 — the
+    # stage-2 Swin shape where fwd and bwd used to pick different lane tiles
+    # (512 vs 256) and regenerate DIFFERENT masks (round-2 ADVICE high).
+    # With a fixed seed the op is deterministic, so the autodiff directional
+    # derivative must match central finite differences; a mask mismatch in
+    # the backward breaks this immediately at rate=0.2.
+    B2, H2, N2, D2 = 512, 4, 9, 64
+    q2, k2, v2 = (
+        jnp.asarray(rng.normal(size=(B2, H2, N2, D2)).astype(np.float32)) for _ in range(3)
+    )
+    bias_l2 = jnp.asarray(rng.normal(size=(H2, N2, N2, 128)).astype(np.float32))
+    seed2 = jnp.full((1,), 11, jnp.int32)
+
+    def f64(qq):
+        return jnp.sum(
+            jnp.sin(fused_window_attention_dropout(qq, k2, v2, bias_l2, seed2, 0.2))
+        )
+
+    u = jnp.asarray(rng.normal(size=q2.shape).astype(np.float32))
+    u = u / jnp.linalg.norm(u)
+    gq = jax.jit(jax.grad(f64))(q2)
+    directional = float(jnp.vdot(gq, u))
+    eps = 1e-2
+    fd = float((f64(q2 + eps * u) - f64(q2 - eps * u)) / (2 * eps))
+    rel = abs(directional - fd) / (abs(fd) + 1e-9)
+    assert rel < 5e-2, (
+        f"dropout bwd mask disagrees with fwd at D=64: grad.u={directional} fd={fd}"
+    )
+    print(f"dropout fwd/bwd mask agreement at D=64 (finite diff): rel err {rel:.3e}")
+
     # 5. opt-in fused MLP: hardware fwd/bwd parity and the dropout variant's
     # mask regeneration (rate->0 limit + seed variation)
     from focal_tpu.ops.pallas_kernels import fused_mlp, fused_mlp_dropout
