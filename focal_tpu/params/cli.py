@@ -127,16 +127,68 @@ def build_parser():
         default=None,
         help="Capture a jax.profiler trace of a few training steps into this directory.",
     )
+    parser.add_argument(
+        "-hbm_budget_gb",
+        type=float,
+        default=0,
+        help="Per-device HBM budget for the train split (GB). Splits over "
+        "budget stream host->device in double-buffered blocks. 0 = auto "
+        "(60%% of reported device memory, else 8 GB).",
+    )
+    parser.add_argument(
+        "-stream_block_steps",
+        type=int,
+        default=0,
+        help="Steps per streamed block (0 = default 64). One device dispatch "
+        "and one async H2D transfer per block.",
+    )
+    parser.add_argument(
+        "-data_layout",
+        type=str,
+        default="auto",
+        choices=["auto", "replicated", "sharded"],
+        help="Train-split placement: replicated on every device, or row-sharded "
+        "over the data mesh axis with shard-local shuffling (auto: sharded "
+        "when multi-process, replicated otherwise).",
+    )
+    parser.add_argument(
+        "-dist_coordinator",
+        type=str,
+        default=None,
+        help="host:port of the jax.distributed coordinator (process 0). "
+        "Enables multi-process execution; also via FOCAL_DIST_COORDINATOR.",
+    )
+    parser.add_argument(
+        "-dist_num_processes",
+        type=int,
+        default=0,
+        help="Total process count for multi-process execution (0 = autodetect "
+        "on TPU pods); also via FOCAL_DIST_NUM_PROCESSES.",
+    )
+    parser.add_argument(
+        "-dist_process_id",
+        type=int,
+        default=None,
+        help="This process's id in [0, dist_num_processes); also via "
+        "FOCAL_DIST_PROCESS_ID.",
+    )
     return parser
 
 
-def parse_train_params(argv=None):
+def _parse(argv, option):
     args = build_parser().parse_args(argv)
-    args.option = "train"
+    args.option = option
+    # multi-process init must precede the first device query inside
+    # set_auto_params (jax.distributed cannot initialize after backends do)
+    from focal_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize(args)
     return set_auto_params(args)
+
+
+def parse_train_params(argv=None):
+    return _parse(argv, "train")
 
 
 def parse_test_params(argv=None):
-    args = build_parser().parse_args(argv)
-    args.option = "test"
-    return set_auto_params(args)
+    return _parse(argv, "test")

@@ -61,6 +61,25 @@ def find_most_recent_weight(args, return_suffix=False):
     return newest_id, newest_weight
 
 
+def _sync_weight_folder(weight_folder):
+    """Multi-process runs must agree on ONE experiment folder: the exp{N}
+    auto-increment is a filesystem race between processes (each would mint
+    its own folder and orbax's cross-process save barrier then deadlocks).
+    Process 0's choice is published through the jax.distributed KV store."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return weight_folder
+    client = jax._src.distributed.global_state.client
+    if client is None:
+        return weight_folder
+    key = "focal_tpu/weight_folder"  # one stage per process lifetime
+    if jax.process_index() == 0:
+        client.key_value_set(key, weight_folder)
+        return weight_folder
+    return client.blocking_key_value_get(key, 120_000)
+
+
 def set_model_weight_folder(args):
     dataset_model_path = os.path.join(_root(args), "weights", f"{args.dataset}_{args.model}")
     check_paths([dataset_model_path])
@@ -75,8 +94,10 @@ def set_model_weight_folder(args):
             weight_folder = newest_weight
         else:
             raise FileNotFoundError(f"No existing model weights for {suffix}")
+        weight_folder = _sync_weight_folder(weight_folder)
     else:
         weight_folder = os.path.join(dataset_model_path, f"exp{newest_id + 1}_{suffix}")
+        weight_folder = _sync_weight_folder(weight_folder)
         check_paths([weight_folder])
         with open(os.path.join(weight_folder, "model_config.json"), "w") as f:
             json.dump(args.dataset_config[args.model], f, indent=4)

@@ -21,12 +21,12 @@ class EvalPlan:
     [nb, B] plus host-side validity weights [nb, B]."""
 
     def __init__(self, loader, mesh_plan=None):
-        from focal_tpu.parallel.mesh import put_replicated
+        from focal_tpu.parallel.distributed import put_replicated_global
 
         plans = list(loader)
         self.idx = np.stack([p.idx for p in plans])  # [nb, B]
         self.weight = np.stack([p.weight for p in plans])  # [nb, B]
-        self.device_idx = put_replicated(jnp.asarray(self.idx), mesh_plan)
+        self.device_idx = put_replicated_global(jnp.asarray(self.idx), mesh_plan)
         self.labels = loader.dataset.labels[self.idx]  # [nb, B]
 
 
@@ -48,7 +48,64 @@ def make_batched_forward(model, augmenter, head, mesh_plan=None):
     if mesh_plan is None:
         return jax.jit(fn)
     r = mesh_plan.replicated
-    return jax.jit(fn, in_shardings=(r, r, r))
+    # outputs replicated: metrics are computed host-side, and on a
+    # multi-process mesh only fully-replicated arrays are fetchable
+    return jax.jit(fn, in_shardings=(r, r, r), out_shardings=r)
+
+
+class ShardedEvalPlan:
+    """Full-coverage batch schedule over a ROW-SHARDED split (multi-host
+    data layout): batch b is each device's local rows [b*L, (b+1)*L), so the
+    gather never crosses devices. Batch composition therefore differs from
+    the replicated plan's sequential order (deliberate, documented deviation
+    for the sharded layout); coverage and per-row weights are identical.
+
+    labels_grouped: [n_dev, n_local_rows] host labels in the grouped
+    (device-major) placement order."""
+
+    def __init__(self, labels_grouped, batch_size, mesh_plan):
+        n_dev, n_local = labels_grouped.shape
+        L = max(1, batch_size // n_dev)
+        nb = int(np.ceil(n_local / L))
+        idx = np.arange(nb * L) % n_local  # pad tail by wrapping (weight 0)
+        idx = idx.reshape(nb, L).astype(np.int32)
+        wloc = (np.arange(nb * L) < n_local).reshape(nb, L)
+        # batch order after the shard_map gather: device-major concat
+        self.idx = idx
+        self.weight = np.repeat(wloc[:, None, :], n_dev, axis=1).reshape(nb, n_dev * L)
+        self.labels = np.stack(
+            [labels_grouped[:, idx[b]].reshape(-1) for b in range(nb)]
+        )  # [nb, n_dev * L]
+        from focal_tpu.parallel.distributed import put_replicated_global
+
+        self.device_idx = put_replicated_global(jnp.asarray(idx), mesh_plan)
+
+
+def make_sharded_batched_forward(model, augmenter, head, mesh_plan):
+    """Batched no-aug forward over a row-sharded split: idx_matrix holds
+    LOCAL row positions (identical on every device); each device gathers
+    from its own shard under shard_map."""
+    from jax.sharding import PartitionSpec as P
+
+    gather = jax.shard_map(
+        lambda d, idx: jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), d),
+        mesh=mesh_plan.mesh,
+        in_specs=(P("data"), P()),
+        out_specs=P("data"),
+    )
+
+    def fn(state, data, idx_matrix):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(_, idx):
+            freq_x = augmenter.no(gather(data, idx))
+            return None, model.apply(variables, freq_x, train=False, head=head)
+
+        _, outs = jax.lax.scan(body, None, idx_matrix)
+        return outs
+
+    r = mesh_plan.replicated
+    return jax.jit(fn, in_shardings=(r, mesh_plan.batch_sharded, r), out_shardings=r)
 
 
 def eval_task_metrics(args, labels, predictions):
@@ -158,7 +215,7 @@ def make_batched_pretrain_loss(model, augmenter, focal_loss, mesh_plan=None):
     if mesh_plan is None:
         return jax.jit(fn)
     r = mesh_plan.replicated
-    return jax.jit(fn, in_shardings=(r, r, r, r))
+    return jax.jit(fn, in_shardings=(r, r, r, r), out_shardings=r)
 
 
 def eval_pretrained(args, state, fwd_feat, loss_fn, estimator, plan, data, rng):

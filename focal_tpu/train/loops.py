@@ -27,48 +27,157 @@ from focal_tpu.train.steps import (
     make_classifier_epoch_fn,
     make_pretrain_epoch_fn,
 )
+from focal_tpu.parallel import distributed as dist
 from focal_tpu.parallel.mesh import make_mesh_plan, put_replicated
 
 
 class Run:
-    """Everything a stage loop needs, built once."""
+    """Everything a stage loop needs, built once.
+
+    Data layouts: "replicated" (default single-process; every device holds
+    the whole split) or "sharded" (default multi-process; the TRAIN split is
+    row-sharded over the data mesh axis in a device-grouped order, each
+    process feeding only its local devices via
+    jax.make_array_from_process_local_data — SURVEY §2.6's multi-host plan).
+    Val/test splits are small and always replicated.
+    """
 
     def __init__(self, args):
         self.args = args
         self.mesh_plan = make_mesh_plan(getattr(args, "data_parallel", 0))
+        layout = getattr(args, "data_layout", None) or "auto"
+        if layout == "auto":
+            layout = "sharded" if dist.process_count() > 1 else "replicated"
+        if self.mesh_plan is None:
+            layout = "replicated"
+        self.data_layout = layout
         self.train_loader = create_dataloader("train", args)
         self.val_loader = create_dataloader("val", args)
         self.test_loader = create_dataloader("test", args)
         logging.info(
             f"= Dataloaders: train {len(self.train_loader.dataset)} samples / "
             f"{len(self.train_loader)} steps, val {len(self.val_loader.dataset)}, "
-            f"test {len(self.test_loader.dataset)}"
+            f"test {len(self.test_loader.dataset)} (layout: {self.data_layout}, "
+            f"process {dist.process_index()}/{dist.process_count()})"
         )
 
         self.augmenter = build_augmenter(args)
         self.model = build_backbone(args)
 
-        # device-resident split data (replicated over the mesh)
+        # HBM budget: splits whose per-device footprint exceeds it stream
+        # from host RAM in double-buffered blocks instead of living in HBM
+        # (data/streaming.py; the reference's lazy disk loading has no HBM
+        # ceiling either — multi_modal_dataset.py:40)
+        from focal_tpu.data import streaming as strm
+
+        self.streaming = False
+        train_bytes = strm.split_nbytes(self.train_loader.dataset.data)
+        n_dev = self.mesh_plan.num_devices if self.mesh_plan else 1
+        per_device = train_bytes // n_dev if self.data_layout == "sharded" else train_bytes
+        budget = strm.device_budget_bytes(args)
+        if per_device > budget:
+            if dist.process_count() > 1:
+                logging.warning(
+                    f"= Train split needs {per_device / 1e9:.2f} GB/device over the "
+                    f"{budget / 1e9:.2f} GB budget; streaming is single-process-only, "
+                    "continuing device-resident (sharded layout already divides by "
+                    "device count)"
+                )
+            else:
+                self.streaming = True
+                self.data_layout = "replicated"  # streaming feeds whole batches
+                logging.info(
+                    f"= Train split {train_bytes / 1e9:.2f} GB exceeds the "
+                    f"{budget / 1e9:.2f} GB/device HBM budget: streaming host->device "
+                    "in double-buffered blocks"
+                )
+
+        # device-resident split data
         self.device_data = {}
         self.device_labels = {}
+        self.train_group = None
         for name, loader in (
             ("train", self.train_loader),
             ("val", self.val_loader),
             ("test", self.test_loader),
         ):
             ds = loader.dataset
-            self.device_data[name] = put_replicated(
+            if name == "train":
+                if self.streaming:
+                    self.host_train_data = {
+                        loc: {m: np.asarray(a) for m, a in mods.items()}
+                        for loc, mods in ds.data.items()
+                    }
+                    self.device_data[name] = None
+                    self.device_labels[name] = None
+                    continue
+                if self.data_layout == "sharded":
+                    self._place_sharded_train(ds)
+                    continue
+            self.device_data[name] = dist.put_replicated_global(
                 {loc: {m: jnp.asarray(a) for m, a in mods.items()} for loc, mods in ds.data.items()},
                 self.mesh_plan,
             )
-            self.device_labels[name] = put_replicated(jnp.asarray(ds.labels), self.mesh_plan)
+            self.device_labels[name] = dist.put_replicated_global(jnp.asarray(ds.labels), self.mesh_plan)
         self._eval_plans = {}
+
+    def _place_sharded_train(self, ds):
+        """Row-shard the train split: trim to a device-divisible unit count,
+        scatter units over devices with a fixed seed-derived assignment (the
+        static shard assignment would otherwise inherit any class ordering in
+        the files), and store each device's rows contiguously — subsequences
+        stay whole inside one device, so sequence gathers are local."""
+        n_dev = self.mesh_plan.num_devices
+        rng = np.random.default_rng(self.args.seed + 17)
+        sequence = self.train_loader.sequence
+        if sequence and ds.subseq_idx is not None:
+            seq_len = ds.subseq_idx.shape[1]
+            ns = (ds.num_subseqs // n_dev) * n_dev
+            if ns == 0:
+                raise ValueError(
+                    f"train split has {ds.num_subseqs} subsequences for {n_dev} devices; "
+                    "too few for the sharded layout"
+                )
+            order = rng.permutation(ds.num_subseqs)[:ns]
+            rows = ds.subseq_idx[order].reshape(-1)
+            n_items = ns
+        else:
+            seq_len = 1
+            n = (len(ds) // n_dev) * n_dev
+            if n == 0:
+                raise ValueError(
+                    f"train split has {len(ds)} samples for {n_dev} devices; "
+                    "too few for the sharded layout"
+                )
+            rows = rng.permutation(len(ds))[:n]
+            n_items = n
+        labels_grouped = np.asarray(ds.labels)[rows]
+        self.train_group = {
+            "rows": rows,
+            "n_items": n_items,  # units (subsequences or samples)
+            "seq_len": seq_len,
+            "labels_grouped": labels_grouped.reshape(n_dev, -1),
+        }
+        host = {
+            loc: {m: np.asarray(a)[rows] for m, a in mods.items()}
+            for loc, mods in ds.data.items()
+        }
+        self.device_data["train"] = dist.put_row_sharded(host, self.mesh_plan)
+        self.device_labels["train"] = dist.put_row_sharded(jnp.asarray(labels_grouped), self.mesh_plan)
 
     def eval_plan(self, split):
         """Static full-coverage batch schedule for a split: always built from
         a dedicated unshuffled, padded loader (the train loader itself
-        shuffles and drops the ragged tail)."""
+        shuffles and drops the ragged tail). With the sharded train layout
+        the train plan iterates local row positions per shard instead."""
         if split not in self._eval_plans:
+            if split == "train" and self.data_layout == "sharded":
+                self._eval_plans[split] = ev.ShardedEvalPlan(
+                    self.train_group["labels_grouped"],
+                    self.train_loader.batch_size,
+                    self.mesh_plan,
+                )
+                return self._eval_plans[split]
             from focal_tpu.data.loader import DeviceDataLoader
 
             base = {"train": self.train_loader, "val": self.val_loader, "test": self.test_loader}[split]
@@ -173,21 +282,45 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
         state = ckpt.load_params_into(state, pretrain_latest, load_class_layer=False)
     tx, lr_fn = tx_builder(state.params)
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
-    state = put_replicated(state, run.mesh_plan)
+    state = dist.put_replicated_global(state, run.mesh_plan)
     logging.info(f"= Model params: {param_count(state.params):,}")
 
+    n_items = (
+        run.train_group["n_items"] if run.data_layout == "sharded" else len(run.train_loader.dataset)
+    )
+
+    if run.streaming:
+        from focal_tpu.data import streaming as strm
+
+        streaming_fn = strm.make_streaming_classifier_fn(
+            run.model, run.augmenter,
+            host_data=run.host_train_data,
+            host_labels=run.train_loader.dataset.labels,
+            n_items=n_items,
+            batch_size=run.train_loader.batch_size,
+            fixed_aug=fixed_aug,
+            mesh_plan=run.mesh_plan,
+            seed=args.seed + 29,
+            block_steps=getattr(args, "stream_block_steps", 0) or strm.BLOCK_STEPS,
+        )
+
     def _make_fn(k):
+        if run.streaming:
+            return streaming_fn  # one epoch per call; blocks amortize dispatch
         return make_classifier_epoch_fn(
             run.model,
             run.augmenter,
-            n_items=len(run.train_loader.dataset),
+            n_items=n_items,
             batch_size=run.train_loader.batch_size,
             fixed_aug=fixed_aug,
             mesh_plan=run.mesh_plan,
             epochs_per_call=k,
+            data_layout=run.data_layout,
         )
 
-    fwd_class = ev.make_batched_forward(run.model, run.augmenter, "class", run.mesh_plan)
+    fwd_class = dist.sync_first_call(
+        ev.make_batched_forward(run.model, run.augmenter, "class", run.mesh_plan), "fwd_class"
+    )
 
     best_path, latest_path = checkpoint_paths(args)
     resume_path = latest_path.replace("_latest", "_resume")
@@ -208,7 +341,9 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     # the extra compile (per-call dispatch latency dominates tiny epochs);
     # block sizes never cross a validation boundary, so the reference's val
     # cadence (epochs 0, val_epochs, 2*val_epochs, ...) is preserved
-    k = _block_size(args, val_epochs, train_epochs - start_epoch)
+    # streaming advances exactly one epoch per call (block dispatch
+    # already amortizes per-call latency)
+    k = 1 if run.streaming else _block_size(args, val_epochs, train_epochs - start_epoch)
     epoch_fns = {}
 
     start = time.time()
@@ -218,12 +353,12 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     while epoch < train_epochs:
         blk = _next_block(epoch, k, val_epochs, train_epochs)
         if blk not in epoch_fns:
-            epoch_fns[blk] = _make_fn(blk)
+            epoch_fns[blk] = dist.sync_first_call(_make_fn(blk), f"epoch_fn_{blk}")
         profile_now = args.profile_dir and not profiled and epoch > start_epoch
         if profile_now:
             blk = 1  # trace a single epoch, not a whole block
             if blk not in epoch_fns:
-                epoch_fns[blk] = _make_fn(blk)
+                epoch_fns[blk] = dist.sync_first_call(_make_fn(blk), f"epoch_fn_{blk}")
             jax.profiler.start_trace(args.profile_dir)
         state, epoch_loss, _ = epoch_fns[blk](state, data, labels, step_rng)
         block_windows += epoch_fns[blk].windows_per_epoch * blk
@@ -249,6 +384,8 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
                 f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
             )
             ev.log_val_test(stage_name, epoch_label, val_loss, val_metrics, test_loss, test_metrics)
+            # multi-process: ALL processes call save (orbax's save is a
+            # cross-process collective; the primary host writes the data)
             ckpt.save_state(latest_path, state)
             ckpt.save_state(
                 resume_path, state, extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_acc)}
@@ -277,26 +414,72 @@ def pretrain(args):
         args, state.params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
     )
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
-    state = put_replicated(state, run.mesh_plan)
+    state = dist.put_replicated_global(state, run.mesh_plan)
     logging.info(f"= Model params: {param_count(state.params):,}")
 
     focal_loss = make_focal_loss(args)
     train_ds = run.train_loader.dataset
+    n_items = (
+        run.train_group["n_items"]
+        if run.data_layout == "sharded"
+        else (train_ds.num_subseqs if run.train_loader.sequence else len(train_ds))
+    )
+    if run.streaming:
+        from focal_tpu.data import streaming as strm
+
+        streaming_fn = strm.make_streaming_pretrain_fn(
+            run.model, run.augmenter, focal_loss,
+            host_data=run.host_train_data,
+            n_units=n_items,
+            batch_size=run.train_loader.batch_size,
+            subseq_idx=train_ds.subseq_idx if run.train_loader.sequence else None,
+            mesh_plan=run.mesh_plan,
+            fused_views=not getattr(args, "no_fused_views", False),
+            seed=args.seed + 29,
+            block_steps=getattr(args, "stream_block_steps", 0) or strm.BLOCK_STEPS,
+        )
+
     def _make_fn(k):
+        if run.streaming:
+            return streaming_fn  # one epoch per call; blocks amortize dispatch
         return make_pretrain_epoch_fn(
             run.model,
             run.augmenter,
             focal_loss,
-            n_items=train_ds.num_subseqs,
+            n_items=n_items,
             batch_size=run.train_loader.batch_size,
-            subseq_idx=train_ds.subseq_idx,
+            subseq_idx=train_ds.subseq_idx if run.train_loader.sequence else None,
             mesh_plan=run.mesh_plan,
             fused_views=not getattr(args, "no_fused_views", False),
             epochs_per_call=k,
+            data_layout=run.data_layout,
         )
-    loss_fn = ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan)
-    fwd_feat = ev.make_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan)
-    knn_plan = run.eval_plan("train")
+    loss_fn = dist.sync_first_call(
+        ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan),
+        "pretrain_loss",
+    )
+    fwd_feat = dist.sync_first_call(
+        ev.make_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan), "fwd_feat"
+    )
+    # KNN features come from the train split, whose layout varies: row-sharded
+    # (shard-local gathers) or streaming (host-fed blocks)
+    if run.streaming:
+        sfwd = strm.make_streaming_forward(
+            run.model, run.augmenter, "feat",
+            host_data=run.host_train_data, mesh_plan=run.mesh_plan,
+            batch_size=run.train_loader.batch_size, n_rows=len(train_ds),
+        )
+        fwd_feat_train = lambda state, data, idx: sfwd(state)
+        knn_plan = strm.StreamingEvalPlan(train_ds.labels, sfwd)
+    elif run.data_layout == "sharded":
+        fwd_feat_train = dist.sync_first_call(
+            ev.make_sharded_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan),
+            "fwd_feat_train",
+        )
+        knn_plan = run.eval_plan("train")
+    else:
+        fwd_feat_train = fwd_feat
+        knn_plan = run.eval_plan("train")
 
     best_path, latest_path = checkpoint_paths(args)
     resume_path = latest_path.replace("_latest", "_resume")
@@ -314,7 +497,9 @@ def pretrain(args):
     eval_rng = jax.random.key(args.seed + 2)
     data = run.device_data["train"]
 
-    k = _block_size(args, val_epochs, train_epochs - start_epoch)
+    # streaming advances exactly one epoch per call (block dispatch
+    # already amortizes per-call latency)
+    k = 1 if run.streaming else _block_size(args, val_epochs, train_epochs - start_epoch)
     epoch_fns = {}
 
     start = time.time()
@@ -324,12 +509,12 @@ def pretrain(args):
     while epoch < train_epochs:
         blk = _next_block(epoch, k, val_epochs, train_epochs)
         if blk not in epoch_fns:
-            epoch_fns[blk] = _make_fn(blk)
+            epoch_fns[blk] = dist.sync_first_call(_make_fn(blk), f"epoch_fn_{blk}")
         profile_now = args.profile_dir and not profiled and epoch > start_epoch
         if profile_now:
             blk = 1  # trace a single epoch, not a whole block
             if blk not in epoch_fns:
-                epoch_fns[blk] = _make_fn(blk)
+                epoch_fns[blk] = dist.sync_first_call(_make_fn(blk), f"epoch_fn_{blk}")
             jax.profiler.start_trace(args.profile_dir)
         state, epoch_loss = epoch_fns[blk](state, data, step_rng)
         block_windows += epoch_fns[blk].windows_per_epoch * blk
@@ -343,7 +528,7 @@ def pretrain(args):
             epoch_label = epoch - 1
             train_loss = float(jax.device_get(epoch_loss))
             estimator = ev.compute_knn(
-                state, fwd_feat, knn_plan, data, backend=getattr(args, "knn_backend", "sklearn")
+                state, fwd_feat_train, knn_plan, data, backend=getattr(args, "knn_backend", "sklearn")
             )
             val_loss, val_metrics = ev.eval_pretrained(
                 args, state, fwd_feat, loss_fn, estimator,
@@ -360,7 +545,8 @@ def pretrain(args):
                 f"({block_windows / max(dt, 1e-9):.1f} windows/s)"
             )
             ev.log_val_test("pretrain", epoch_label, val_loss, val_metrics, test_loss, test_metrics)
-            # backbone-only saves (reference: pretrain.py:94-100)
+            # backbone-only saves (reference: pretrain.py:94-100); on
+            # multi-process meshes ALL processes call save (orbax collective)
             ckpt.save_params(latest_path, state.params, state.batch_stats)
             ckpt.save_state(
                 resume_path, state, extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_loss)}

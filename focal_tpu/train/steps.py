@@ -16,12 +16,59 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from focal_tpu.train.losses import cross_entropy
 
 
 def gather_batch(data, idx):
     return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+
+
+# ---------------------------------------------------------------------------
+# sharded data layout (multi-host): the split lives row-sharded over the data
+# mesh axis (each device holds only its own rows, grouped per device at
+# placement time by parallel.distributed.put_row_sharded). Shuffling is
+# shard-local — each device permutes its own rows — so the batch gather never
+# crosses devices: zero ICI/DCN traffic on the data path. Every global batch
+# still mixes all shards (it takes per_local rows from EVERY device).
+# ---------------------------------------------------------------------------
+
+
+def make_local_perm(mesh, n_local):
+    """Per-device permutations of local row space: (seeds[n_dev]) ->
+    [n_dev, n_local], row d a permutation drawn from seed d."""
+
+    def body(seed):
+        return jax.random.permutation(jax.random.key(seed[0]), n_local)[None]
+
+    return jax.shard_map(body, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+
+
+def make_local_gather(mesh, per_local, group=1, with_labels=False):
+    """Sharded batch gather: (data, perm[n_dev, n_local], i) -> batch.
+
+    Each device takes rows perm_local[i*per_local:(i+1)*per_local] from its
+    OWN shard; with group>1 (sequence batching) each selected unit j expands
+    to rows [j*group, (j+1)*group) — subsequences are stored contiguously in
+    the grouped layout. Output is the global batch sharded on axis 0.
+    """
+
+    def body(data, perm, i, *labels):
+        sel = jax.lax.dynamic_slice(perm[0], (i[0] * per_local,), (per_local,))
+        if group > 1:
+            idx = (sel[:, None] * group + jnp.arange(group)).reshape(-1)
+        else:
+            idx = sel
+        batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+        if labels:
+            return batch, jnp.take(labels[0], idx, axis=0)
+        return batch
+
+    data_spec = P("data")
+    in_specs = (data_spec, data_spec, P()) + ((data_spec,) if with_labels else ())
+    out_specs = (data_spec, data_spec) if with_labels else data_spec
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
 def _apply_train(model, state, freq_x, dropout_rng, head):
@@ -126,7 +173,7 @@ def _shard_batch(batch, mesh_plan):
 
 def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
                            subseq_idx=None, mesh_plan=None, fused_views=True,
-                           epochs_per_call=1):
+                           epochs_per_call=1, data_layout="replicated"):
     """One jitted call per `epochs_per_call` EPOCHS: on-device shuffles + a
     nested lax.scan over (epochs, steps).
 
@@ -137,34 +184,66 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
     [n_subseq, seq_len]; n_items then counts subsequences and batch_size is
     given in samples.
 
+    data_layout="sharded" (multi-host): the split is row-sharded over the
+    mesh in the per-device grouped order (parallel.distributed), n_items must
+    be a multiple of the device count, shuffling is shard-local, and the
+    gather runs under shard_map (no cross-device data movement). subseq_idx
+    then only provides seq_len — the grouped layout stores subsequences
+    contiguously.
+
     Returns run(state, data, rng) -> (state, mean_loss over the block).
     """
     if subseq_idx is not None:
         seq_len = subseq_idx.shape[1]
         per = max(1, batch_size // seq_len)
     else:
+        seq_len = 1
         per = batch_size
-    steps_per_epoch = max(1, n_items // per)
+    sharded = data_layout == "sharded"
+    if sharded:
+        if mesh_plan is None:
+            raise ValueError("data_layout='sharded' requires a mesh plan")
+        n_dev = mesh_plan.num_devices
+        if n_items % n_dev or per % n_dev:
+            raise ValueError(
+                f"sharded layout needs n_items ({n_items}) and batch units "
+                f"({per}) divisible by the device count ({n_dev})"
+            )
+        n_local, per_local = n_items // n_dev, per // n_dev
+        steps_per_epoch = max(1, n_local // per_local)
+        local_perm = make_local_perm(mesh_plan.mesh, n_local)
+        local_gather = make_local_gather(mesh_plan.mesh, per_local, group=seq_len)
+    else:
+        steps_per_epoch = max(1, n_items // per)
 
     def one_epoch(state, data, subseq_rows, rng):
         # epoch index derives from the optimizer step counter: no per-call
         # host scalar crosses the tunnel
         epoch = state.step // steps_per_epoch
         perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
-        perm = jax.random.permutation(perm_rng, n_items)
+        if sharded:
+            seeds = jax.random.randint(
+                perm_rng, (mesh_plan.num_devices,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            perm = local_perm(seeds)
+        else:
+            perm = jax.random.permutation(perm_rng, n_items)
 
         def body(state, i):
-            sel = jax.lax.dynamic_slice(perm, (i * per,), (per,))
-            if subseq_rows is not None:
-                idx = jnp.take(subseq_rows, sel, axis=0).reshape(-1)
+            if sharded:
+                batch = local_gather(data, perm, i[None])
             else:
-                idx = sel
-            batch = _shard_batch(gather_batch(data, idx), mesh_plan)
+                sel = jax.lax.dynamic_slice(perm, (i * per,), (per,))
+                if subseq_rows is not None:
+                    idx = jnp.take(subseq_rows, sel, axis=0).reshape(-1)
+                else:
+                    idx = sel
+                batch = _shard_batch(gather_batch(data, idx), mesh_plan)
 
             rng_v1, rng_v2, rng_drop = jax.random.split(jax.random.fold_in(step_rng, i), 3)
             view1 = augmenter.random(rng_v1, batch)
             view2 = augmenter.random(rng_v2, batch)
-            b = idx.shape[0]
+            b = per * seq_len  # global samples per batch (static)
             both = jax.tree_util.tree_map(
                 lambda a, c: jnp.concatenate([a, c], axis=0), view1, view2
             )
@@ -210,13 +289,18 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         jitted = jax.jit(epoch_fn, donate_argnums=(0,))
     else:
         r = mesh_plan.replicated
-        jitted = jax.jit(epoch_fn, in_shardings=(r, r, r, r), donate_argnums=(0,))
+        d = mesh_plan.batch_sharded if sharded else r
+        jitted = jax.jit(epoch_fn, in_shardings=(r, d, r, r), donate_argnums=(0,))
 
     # the subsequence table and rng go to the device ONCE; every epoch-call
     # argument after that is already device-resident
-    from focal_tpu.parallel.mesh import put_replicated
+    from focal_tpu.parallel.distributed import put_replicated_global
 
-    rows = None if subseq_idx is None else put_replicated(jnp.asarray(subseq_idx), mesh_plan)
+    rows = (
+        None
+        if (subseq_idx is None or sharded)  # grouped layout stores subsequences contiguously
+        else put_replicated_global(jnp.asarray(subseq_idx), mesh_plan)
+    )
     # cache holds the host key object too: keying by id() alone is unsafe
     # because CPython reuses freed addresses for per-call temporary keys
     rng_cache = {}
@@ -225,32 +309,57 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         entry = rng_cache.get(id(rng))
         if entry is None or entry[0] is not rng:
             rng_cache.clear()
-            rng_cache[id(rng)] = (rng, put_replicated(rng, mesh_plan))
+            rng_cache[id(rng)] = (rng, put_replicated_global(rng, mesh_plan))
         return jitted(state, data, rows, rng_cache[id(rng)][1])
 
     run.steps_per_epoch = steps_per_epoch
     run.epochs_per_call = epochs_per_call
-    run.windows_per_epoch = steps_per_epoch * per * (subseq_idx.shape[1] if subseq_idx is not None else 1)
+    run.windows_per_epoch = steps_per_epoch * per * seq_len
     return run
 
 
 def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=True, mesh_plan=None,
-                             epochs_per_call=1):
+                             epochs_per_call=1, data_layout="replicated"):
     """Epoch-scan for supervised/finetune training (fixed_aug=False -> no-aug
     pipeline, i.e. finetune). Returns run(state, data, labels, rng); with
-    epochs_per_call > 1 each call advances that many epochs (nested scan)."""
+    epochs_per_call > 1 each call advances that many epochs (nested scan).
+    data_layout="sharded": see make_pretrain_epoch_fn."""
     per = min(batch_size, n_items)
-    steps_per_epoch = max(1, n_items // per)
+    sharded = data_layout == "sharded"
+    if sharded:
+        if mesh_plan is None:
+            raise ValueError("data_layout='sharded' requires a mesh plan")
+        n_dev = mesh_plan.num_devices
+        if n_items % n_dev or per % n_dev:
+            raise ValueError(
+                f"sharded layout needs n_items ({n_items}) and batch size "
+                f"({per}) divisible by the device count ({n_dev})"
+            )
+        n_local, per_local = n_items // n_dev, per // n_dev
+        steps_per_epoch = max(1, n_local // per_local)
+        local_perm = make_local_perm(mesh_plan.mesh, n_local)
+        local_gather = make_local_gather(mesh_plan.mesh, per_local, with_labels=True)
+    else:
+        steps_per_epoch = max(1, n_items // per)
 
     def one_epoch(state, data, labels, rng):
         epoch = state.step // steps_per_epoch
         perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
-        perm = jax.random.permutation(perm_rng, n_items)
+        if sharded:
+            seeds = jax.random.randint(
+                perm_rng, (mesh_plan.num_devices,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            perm = local_perm(seeds)
+        else:
+            perm = jax.random.permutation(perm_rng, n_items)
 
         def body(state, i):
-            idx = jax.lax.dynamic_slice(perm, (i * per,), (per,))
-            batch = _shard_batch(gather_batch(data, idx), mesh_plan)
-            batch_labels = jnp.take(labels, idx, axis=0)
+            if sharded:
+                batch, batch_labels = local_gather(data, perm, i[None], labels)
+            else:
+                idx = jax.lax.dynamic_slice(perm, (i * per,), (per,))
+                batch = _shard_batch(gather_batch(data, idx), mesh_plan)
+                batch_labels = jnp.take(labels, idx, axis=0)
             rng_aug, rng_drop = jax.random.split(jax.random.fold_in(step_rng, i))
             if fixed_aug:
                 freq_x, targets = augmenter.fixed(rng_aug, batch, batch_labels)
@@ -287,9 +396,10 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
         jitted = jax.jit(epoch_fn, donate_argnums=(0,))
     else:
         r = mesh_plan.replicated
-        jitted = jax.jit(epoch_fn, in_shardings=(r, r, r, r), donate_argnums=(0,))
+        d = mesh_plan.batch_sharded if sharded else r
+        jitted = jax.jit(epoch_fn, in_shardings=(r, d, d, r), donate_argnums=(0,))
 
-    from focal_tpu.parallel.mesh import put_replicated
+    from focal_tpu.parallel.distributed import put_replicated_global
 
     rng_cache = {}
 
@@ -297,7 +407,7 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
         entry = rng_cache.get(id(rng))
         if entry is None or entry[0] is not rng:
             rng_cache.clear()
-            rng_cache[id(rng)] = (rng, put_replicated(rng, mesh_plan))
+            rng_cache[id(rng)] = (rng, put_replicated_global(rng, mesh_plan))
         return jitted(state, data, labels, rng_cache[id(rng)][1])
 
     run.steps_per_epoch = steps_per_epoch
