@@ -149,7 +149,7 @@ def make_streaming_pretrain_fn(model, augmenter, focal_loss, *, host_data, n_uni
                                seed, block_steps=BLOCK_STEPS):
     """Streaming variant of make_pretrain_epoch_fn. host_data holds numpy
     arrays; blocks of K steps are shipped as [K, B, ...]."""
-    from focal_tpu.train.steps import _apply_train, _shard_batch
+    from focal_tpu.train.steps import _apply_train, _shard_batch, make_view_fuser
 
     if subseq_idx is not None:
         seq_len = subseq_idx.shape[1]
@@ -160,6 +160,7 @@ def make_streaming_pretrain_fn(model, augmenter, focal_loss, *, host_data, n_uni
         per = batch_size
         unit_rows = np.arange(n_units)[:, None]
     b = per * seq_len
+    fuse_views, split_views = make_view_fuser(mesh_plan, b, seq_len)
 
     def make_block_fn(k):
         def block(state, block_data, rng):
@@ -173,18 +174,15 @@ def make_streaming_pretrain_fn(model, augmenter, focal_loss, *, host_data, n_uni
                 )
                 view1 = augmenter.random(rng_v1, batch)
                 view2 = augmenter.random(rng_v2, batch)
-                both = jax.tree_util.tree_map(
-                    lambda a, c: jnp.concatenate([a, c], axis=0), view1, view2
-                )
 
                 if fused_views:
+                    both = fuse_views(view1, view2)
 
                     def loss_fn(params):
                         feats, new_stats = _apply_train(
                             model, state.replace(params=params), both, rng_drop, "proj"
                         )
-                        f1 = {m: v[:b] for m, v in feats.items()}
-                        f2 = {m: v[b:] for m, v in feats.items()}
+                        f1, f2 = split_views(feats)
                         loss, _ = focal_loss(f1, f2)
                         return loss, new_stats
 

@@ -13,6 +13,9 @@ did (until this module).
 import numpy as np
 import pytest
 
+# real-loop runs with compiles: excluded from the fast dev loop
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -11,6 +11,9 @@ import pytest
 
 logging.getLogger("absl").setLevel(logging.WARNING)
 
+# multi-minute stage runs: excluded from the fast dev loop (-m "not slow")
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
