@@ -120,32 +120,51 @@ def _losses(log):
 def test_two_process_cli_e2e():
     """Full CLI across 2 processes sharing one output tree: KV-synced exp
     folder, sharded train data, replicated eval, KNN probe, collective orbax
-    checkpoint saves. Asserts completion, matching logs, and checkpoints."""
-    port = 29000 + (os.getpid() + 7) % 1000
-    with tempfile.TemporaryDirectory() as d:
-        dist = ["-dist_coordinator", f"127.0.0.1:{port}", "-dist_num_processes", "2"]
+    checkpoint saves. Asserts completion, matching logs, and checkpoints.
 
-        def cli(pid):
-            return subprocess.Popen(
-                [sys.executable, os.path.join(REPO, "train.py"), *CLI_ARGS, *dist,
-                 "-dist_process_id", str(pid), "-output_dir", d],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-                env=_env(4, d), cwd=d,
-            )
+    Retries once: XLA:CPU's gloo transport creates one communicator context
+    per collective clique with a hardcoded ~30s rendezvous window, and on a
+    loaded single-core host the two processes occasionally skew past it
+    (out of scope to fix here — real TPU pods do not use gloo). The
+    loss/update parity gate is the non-flaky worker test above.
+    """
+    last_logs = None
+    for attempt in range(2):
+        port = 29000 + (os.getpid() + 7 + 131 * attempt) % 1000
+        with tempfile.TemporaryDirectory() as d:
+            dist = ["-dist_coordinator", f"127.0.0.1:{port}", "-dist_num_processes", "2"]
 
-        procs = {"proc0": cli(0), "proc1": cli(1)}
-        logs = _communicate(procs)
-        for name, p in procs.items():
-            assert p.returncode == 0, f"{name} failed:\n{logs[name][-4000:]}"
+            def cli(pid):
+                return subprocess.Popen(
+                    [sys.executable, os.path.join(REPO, "train.py"), *CLI_ARGS, *dist,
+                     "-dist_process_id", str(pid), "-output_dir", d],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                    env=_env(4, d), cwd=d,
+                )
 
-        t0, v0 = _losses(logs["proc0"])
-        t1, v1 = _losses(logs["proc1"])
-        assert t0 and v0, logs["proc0"][-2000:]
-        np.testing.assert_allclose(t1, t0, rtol=1e-6)
-        np.testing.assert_allclose(v1, v0, rtol=1e-6)
-        # one shared experiment folder with the pretrain checkpoints
-        exp = os.path.join(d, "weights", "MOD_TINY_DeepSense")
-        folders = os.listdir(exp)
-        assert folders == ["exp0_contrastive_FOCAL"], folders
-        ckpts = os.listdir(os.path.join(exp, folders[0]))
-        assert any(c.endswith("_latest") for c in ckpts), ckpts
+            procs = {"proc0": cli(0), "proc1": cli(1)}
+            logs = _communicate(procs)
+            last_logs = logs
+            if all(p.returncode == 0 for p in procs.values()):
+                _check_cli_outputs(logs, d)
+                return
+    raise AssertionError(
+        "CLI e2e failed on both attempts; proc0 tail:\n"
+        + last_logs["proc0"][-2500:]
+        + "\nproc1 tail:\n"
+        + last_logs["proc1"][-2500:]
+    )
+
+
+def _check_cli_outputs(logs, d):
+    t0, v0 = _losses(logs["proc0"])
+    t1, v1 = _losses(logs["proc1"])
+    assert t0 and v0, logs["proc0"][-2000:]
+    np.testing.assert_allclose(t1, t0, rtol=1e-6)
+    np.testing.assert_allclose(v1, v0, rtol=1e-6)
+    # one shared experiment folder with the pretrain checkpoints
+    exp = os.path.join(d, "weights", "MOD_TINY_DeepSense")
+    folders = os.listdir(exp)
+    assert folders == ["exp0_contrastive_FOCAL"], folders
+    ckpts = os.listdir(os.path.join(exp, folders[0]))
+    assert any(c.endswith("_latest") for c in ckpts), ckpts
