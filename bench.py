@@ -108,13 +108,14 @@ def bench_jax(model_name):
     mesh_plan = make_mesh_plan(0)
     phase("devices")
 
-    args = _make_args(
-        [
-            "-dataset", "MOD", "-model", model_name,
-            "-learn_framework", "FOCAL", "-stage", "pretrain", "-synthetic",
-            "-compute_dtype", os.environ.get("BENCH_DTYPE", "bfloat16"),
-        ]
-    )
+    argv = [
+        "-dataset", "MOD", "-model", model_name,
+        "-learn_framework", "FOCAL", "-stage", "pretrain", "-synthetic",
+        "-compute_dtype", os.environ.get("BENCH_DTYPE", "bfloat16"),
+    ]
+    if os.environ.get("FOCAL_NO_PALLAS_BLOCK"):  # A/B the whole-block kernel
+        argv.append("-no_pallas_block")
+    args = _make_args(argv)
     seq_len = args.dataset_config["seq_len"]
     model = build_backbone(args)
     augmenter = build_augmenter(args)
@@ -152,6 +153,20 @@ def bench_jax(model_name):
     phase("step compile + warmup")
 
     flops_per_step = _step_flops(step, state, data, idx_host, rng)
+    flops_source = "cost_model"
+    # XLA's cost model assigns ZERO FLOPs to custom calls, so with pallas
+    # kernels active the step's count omits the in-kernel qkv/attention/proj
+    # work and the MFU would understate reality. Lower the SAME step with the
+    # all-XLA module variant (identical math and param tree) and use its
+    # complete count as the model cost. Costs one extra compile; skip with
+    # BENCH_SKIP_XLA_FLOPS=1.
+    if getattr(model, "use_pallas", False) and not os.environ.get("BENCH_SKIP_XLA_FLOPS"):
+        xla_model = model.clone(use_pallas=False, use_pallas_block=False)
+        xla_step = make_pretrain_step(xla_model, augmenter, focal_loss, mesh_plan)
+        xla_flops = _step_flops(xla_step, state, data, idx_host, rng)
+        if xla_flops:
+            flops_per_step = xla_flops
+            flops_source = "all_xla_variant"
     phase("cost analysis")
 
     t0 = time.perf_counter()
@@ -163,6 +178,7 @@ def bench_jax(model_name):
     windows_per_sec = BATCH * STEPS / dt
     perf = {}
     if flops_per_step:
+        perf["flops_source"] = flops_source
         perf["flops_per_window"] = flops_per_step / BATCH
         perf["achieved_tflops"] = flops_per_step * STEPS / dt / n_chips / 1e12
         peak = _peak_tflops(jax.devices()[0])
@@ -295,6 +311,8 @@ def main():
             line["achieved_tflops"] = round(perf["achieved_tflops"], 3)
         if "mfu" in perf:
             line["mfu"] = round(perf["mfu"], 4)
+        if "flops_source" in perf:
+            line["flops_source"] = perf["flops_source"]
         print(json.dumps(line))
 
 

@@ -39,6 +39,7 @@ def build_backbone(args):
             linear_class_head=linear_head,
             dtype=dtype,
             use_pallas=use_pallas,
+            use_pallas_block=use_pallas and not getattr(args, "no_pallas_block", False),
             pallas_mesh=None if plan is None else plan.mesh,
         )
     raise ValueError(f"Invalid model provided: {args.model}")

@@ -44,6 +44,7 @@ class SWTransformer(nn.Module):
     linear_class_head: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_block: bool = False
     pallas_mesh: Any = None
 
     def setup(self):
@@ -114,6 +115,7 @@ class SWTransformer(nn.Module):
                             downsample=i_layer < len(block_num) - 1,
                             dtype=self.dtype,
                             use_pallas=self.use_pallas,
+                use_pallas_block=self.use_pallas_block,
                             pallas_mesh=self.pallas_mesh,
                             name=f"stage{i_layer}_{loc}_{mod}",
                         )

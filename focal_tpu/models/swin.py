@@ -99,6 +99,7 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_block: bool = False
     pallas_mesh: Any = None
 
     @nn.compact
@@ -107,10 +108,6 @@ class WindowAttention(nn.Module):
         wh, ww = self.window_size
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         # tiny windows (N<=16): the MXU can't tile 9x9x16 batched matmuls;
         # attention runs either as a fused pallas VMEM kernel or, when
         # in-kernel limits apply, as a VPU broadcast-multiply-reduce
@@ -149,6 +146,56 @@ class WindowAttention(nn.Module):
             and (mask is None or (B_ // max(n_shards, 1)) % mask.shape[0] == 0)
             and (not dropout_active or _on_tpu())
         )
+
+        if use_fused and self.use_pallas_block:
+            # whole-block kernel: qkv projection + attention + output
+            # projection in one VMEM pass per tile. The separate Dense layers
+            # would run on the window layout, and their BACKWARD materialises
+            # the [B_, N, 3C] gradient plus its conversion back to image
+            # layout — profiled at ~13 ms of an 84 ms SW step (BASELINE.md).
+            # Params keep nn.Dense's exact names/shapes (checkpoint-stable).
+            from focal_tpu.ops.pallas_kernels import (
+                expand_bias_lanes,
+                fused_window_block,
+                fused_window_block_dropout,
+                sharded_window_block,
+            )
+
+            wqkv, bqkv = _DenseParams(C, 3 * C, use_bias=self.qkv_bias, name="qkv")()
+            wproj, bproj = _DenseParams(C, C, name="proj")()
+            # fold the q scaling into the weights: q = (Wq*s)^T x + bq*s
+            scale_vec = jnp.concatenate(
+                [jnp.full((C,), scale, jnp.float32), jnp.ones((2 * C,), jnp.float32)]
+            )
+            wqkv_s = (wqkv * scale_vec[None, :]).astype(self.dtype)
+            bqkv_s = (bqkv * scale_vec).astype(jnp.float32)
+            bias_l = expand_bias_lanes(bias.astype(jnp.float32), mask)
+            xb = x.astype(self.dtype)
+            seed = None
+            if dropout_active:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+            if n_shards > 1:
+                out = sharded_window_block(
+                    mesh, xb, wqkv_s, bqkv_s, wproj.astype(self.dtype),
+                    bproj.astype(jnp.float32), bias_l, seed=seed, rate=float(self.attn_drop)
+                )
+            elif seed is not None:
+                out = fused_window_block_dropout(
+                    xb, wqkv_s, bqkv_s, wproj.astype(self.dtype),
+                    bproj.astype(jnp.float32), bias_l, seed, float(self.attn_drop)
+                )
+            else:
+                out = fused_window_block(
+                    xb, wqkv_s, bqkv_s, wproj.astype(self.dtype),
+                    bproj.astype(jnp.float32), bias_l
+                )
+            return _remat_drop(self, out.astype(self.dtype), self.proj_drop, train)
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         if use_fused:
             from focal_tpu.ops.pallas_kernels import (
                 expand_bias_lanes,
@@ -217,15 +264,21 @@ class DropPath(nn.Module):
 
 class _DenseParams(nn.Module):
     """Kernel/bias with nn.Dense's names, inits and tree position, for paths
-    that consume the weights directly (the fused pallas MLP)."""
+    that consume the weights directly (the fused pallas MLP and the
+    whole-block attention kernel). use_bias=False declares no bias param
+    (matching nn.Dense) and returns zeros."""
 
     in_dim: int
     out_dim: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim))
-        b = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
+        else:
+            b = jnp.zeros((self.out_dim,), jnp.float32)
         return k, b
 
 
@@ -307,6 +360,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_block: bool = False
     pallas_mesh: Any = None
 
     @nn.compact
@@ -333,7 +387,8 @@ class SwinBlock(nn.Module):
         attn_out = WindowAttention(
             self.dim, (wh, ww), self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, dtype=self.dtype,
-            use_pallas=self.use_pallas, pallas_mesh=self.pallas_mesh, name="attn",
+            use_pallas=self.use_pallas, use_pallas_block=self.use_pallas_block,
+            pallas_mesh=self.pallas_mesh, name="attn",
         )(windows, mask, train)
         x = window_reverse(attn_out, wh, ww, H, W)
         if shifted:
@@ -391,6 +446,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_block: bool = False
     pallas_mesh: Any = None
 
     @nn.compact
@@ -415,6 +471,7 @@ class BasicLayer(nn.Module):
                 drop_path=dp,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                use_pallas_block=self.use_pallas_block,
                 pallas_mesh=self.pallas_mesh,
                 name=f"block{i}",
             )(x, train)

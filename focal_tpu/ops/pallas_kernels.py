@@ -794,6 +794,454 @@ def sharded_fused_mlp(mesh, x, w1, b1, w2, b2, seed=None, rate=0.0):
 
 
 # ---------------------------------------------------------------------------
+# whole-block attention: qkv projection + window attention + output
+# projection in ONE VMEM pass per window-batch tile (fwd AND bwd).
+#
+# Why: the separate qkv Dense runs on the window-partitioned layout, so its
+# BACKWARD materialises the [B_, N, 3C] gradient and converts it back to
+# image layout — profiled at ~13 ms of an 84 ms SW_Transformer step (226 MB
+# reshape+copy chains running at 63 GB/s on v5e; see BASELINE.md roofline
+# notes). With the projections inside the kernel, only x and y (1/3 the
+# bytes) ever cross layouts, weight gradients are accumulated in-kernel
+# across tiles (revisited output blocks, like the bias gradient), and the
+# q,k,v/attention intermediates never touch HBM in either pass.
+#
+# The q scaling is folded into the caller's Wqkv/bqkv (scale the q-part
+# columns) so the kernel needs no scale parameter and autodiff handles the
+# chain rule outside. Reference math reproduced:
+# src/models/SwinModules.py:113-152 (qkv Linear -> scaled dot-product with
+# relative-position bias (+ shift mask) -> proj Linear).
+# ---------------------------------------------------------------------------
+
+
+def _block_tile(N, C, B):
+    """Lane tile shared by the whole-block forward AND backward (the dropout
+    keep-mask regeneration requires identical tiling — see _dropout_tile).
+    Sized for the backward's working set: ~11 [N,C,TB] + ~6 [N,N,TB] f32
+    buffers live at peak."""
+    return _pick_tile(N, C, B, n_nd_bufs=11, n_nn_bufs=6)
+
+
+def _wblock_fwd_math(x, wqkv, bqkv, wproj, bproj, bias_full, H, seed_ref, rate,
+                     mask_ref=None):
+    """x: [N, C, TB] in storage dtype; dots run in that dtype with f32
+    accumulation (matches the backward's recompute bit-for-bit). Returns
+    (qkv [N, 3C, TB] f32, attn_out [N, C, TB] f32, y [N, C, TB] f32)."""
+    N, C, TB = x.shape
+    hd = C // H
+    bq = bqkv.astype(jnp.float32).reshape(-1, 1)
+    qkv = jnp.stack(
+        [jnp.dot(wqkv.T, x[n], preferred_element_type=jnp.float32) + bq for n in range(N)]
+    )  # [N, 3C, TB]
+    outs = []
+    for h in range(H):
+        q_h = qkv[:, h * hd : (h + 1) * hd, :]
+        k_h = qkv[:, C + h * hd : C + (h + 1) * hd, :]
+        v_h = qkv[:, 2 * C + h * hd : 2 * C + (h + 1) * hd, :]
+        attn = _scores_softmax(q_h, k_h, bias_full[h])
+        if seed_ref is not None:
+            keep = _dropout_mask_head(seed_ref, h, attn.shape, rate)
+            if mask_ref is not None:
+                mask_ref[h] = keep.astype(mask_ref.dtype)
+            attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+        outs.append(_weighted_sum(attn, v_h))  # [N, hd, TB]
+    attn_out = jnp.concatenate(outs, axis=1)  # [N, C, TB]
+    bp = bproj.astype(jnp.float32).reshape(-1, 1)
+    y = jnp.stack(
+        [jnp.dot(wproj.T, attn_out[n].astype(x.dtype), preferred_element_type=jnp.float32)
+         + bp for n in range(N)]
+    )
+    return qkv, attn_out, y
+
+
+def _dropout_mask_head(seed_ref, h, shape, rate):
+    """Per-(tile, head) keep mask; forward and backward call this with the
+    same seed, program id, head index and tile shape."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 65537 + h * 7919)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(rate * 4294967296.0)
+    return pltpu.bitcast(bits, jnp.uint32) >= threshold
+
+
+def _wblock_fwd_kernel(H, rate, *refs):
+    if rate > 0.0:
+        # dropout: the keep-mask is WRITTEN OUT as a residual (bf16 0/1,
+        # [H, N, N, TB] per tile) — regenerating it from the PRNG in the
+        # backward kernel proved unreliable in this larger kernel (the
+        # regenerated mask disagreed with the forward's, caught by the
+        # finite-difference check in tools/tpu_selftest.py); the stored mask
+        # makes fwd/bwd agreement structural for ~0.03 ms/step of HBM traffic
+        seed_ref, x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, y_ref, mask_ref = refs
+    else:
+        seed_ref = None
+        mask_ref = None
+        x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, y_ref = refs
+    x = x_ref[...]
+    bias_full = _expand_bias(bias_ref[...], x.shape[-1])  # [H, N, N, TB]
+    _, _, y = _wblock_fwd_math(
+        x, wqkv_ref[...], bqkv_ref[...], wproj_ref[...], bproj_ref[...],
+        bias_full, H, seed_ref, rate, mask_ref=mask_ref,
+    )
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _wblock_bwd_kernel(H, rate, *refs):
+    if rate > 0.0:
+        # dropout: the keep-mask comes in as the forward's stored residual
+        (x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, dy_ref, mask_ref,
+         dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref) = refs
+    else:
+        mask_ref = None
+        (x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, dy_ref,
+         dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref) = refs
+    # inputs stay in their storage dtype for the MXU dots (f32 accumulate);
+    # only the attention math runs in f32 — the per-head gradients are
+    # accumulated straight into the weight-gradient SLICES instead of being
+    # concatenated into [N, 3C, TB] buffers (at C=256/tile=128 the concat
+    # formulation peaked at 17.4 MB of scoped VMEM, over the 16 MB limit)
+    x = x_ref[...]
+    wqkv = wqkv_ref[...]
+    wproj = wproj_ref[...]
+    dy = dy_ref[...]
+    N, C, TB = x.shape
+    hd = C // H
+    bias_full = _expand_bias(bias_ref[...], TB)
+    # recompute forward intermediates (residual-free: only x and dy are read)
+    bqkv = bqkv_ref[...].astype(jnp.float32).reshape(-1, 1)
+    qkv = jnp.stack(
+        [jnp.dot(wqkv.T, x[n], preferred_element_type=jnp.float32) + bqkv for n in range(N)]
+    )
+    # d(attn_out)[n] = Wproj @ dy[n]   (y = Wproj^T a + b)
+    g = jnp.stack([jnp.dot(wproj, dy[n], preferred_element_type=jnp.float32) for n in range(N)])
+    # per-head weight-gradient PIECES ([C, hd] / [hd, C] — weight-sized, not
+    # activation-sized) assembled by concatenation at the end: Mosaic has no
+    # scatter-add lowering, and the activation-sized [N, 3C, TB] concat
+    # formulation peaked at 17.4 MB of scoped VMEM (over the 16 MB limit)
+    dx = jnp.zeros((N, C, TB), jnp.float32)
+    dw_pieces = {0: [], 1: [], 2: []}   # part -> [C, hd] per head
+    dbq_pieces = {0: [], 1: [], 2: []}  # part -> [1, hd] per head
+    dwproj_rows = []                    # [hd, C] per head
+    db_tiles = []
+    xb = x.astype(dy.dtype)
+    for h in range(H):
+        q_h = qkv[:, h * hd : (h + 1) * hd, :]
+        k_h = qkv[:, C + h * hd : C + (h + 1) * hd, :]
+        v_h = qkv[:, 2 * C + h * hd : 2 * C + (h + 1) * hd, :]
+        g_h = g[:, h * hd : (h + 1) * hd, :]
+        if mask_ref is not None:
+            # f32 compare: Mosaic rejects bf16 comparisons on this target
+            keep = mask_ref[h].astype(jnp.float32) > 0.5
+            dq, dk, dv, ds = _bwd_math(q_h, k_h, v_h, g_h, bias_full[h], keep, 1.0 / (1.0 - rate))
+            attn = _scores_softmax(q_h, k_h, bias_full[h])
+            a_used = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            dq, dk, dv, ds = _bwd_math(q_h, k_h, v_h, g_h, bias_full[h], None, None)
+            a_used = _scores_softmax(q_h, k_h, bias_full[h])
+        ao_h = _weighted_sum(a_used, v_h)  # [N, hd, TB]
+        dwproj_rows.append(
+            sum(jnp.dot(ao_h[n].astype(dy.dtype), dy[n].T,
+                        preferred_element_type=jnp.float32) for n in range(N))
+        )
+        for part, dpart in ((0, dq), (1, dk), (2, dv)):
+            c0 = part * C + h * hd
+            w_slice = wqkv[:, c0 : c0 + hd]  # [C, hd]
+            dpb = [dpart[n].astype(xb.dtype) for n in range(N)]
+            dx = dx + jnp.stack(
+                [jnp.dot(w_slice, dpb[n], preferred_element_type=jnp.float32) for n in range(N)]
+            )
+            dw_pieces[part].append(
+                sum(jnp.dot(xb[n], dpb[n].T, preferred_element_type=jnp.float32)
+                    for n in range(N))
+            )
+            dbq_pieces[part].append(dpart.sum(axis=(0, 2)).reshape(1, -1))
+        # fold tile lanes onto the 128-lane bias pattern
+        db = ds[:, :, 0:LANE]
+        for r in range(1, TB // LANE):
+            db = db + ds[:, :, r * LANE : (r + 1) * LANE]
+        db_tiles.append(db)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dwqkv = jnp.concatenate(
+        [p for part in (0, 1, 2) for p in dw_pieces[part]], axis=1
+    )  # [C, 3C], column order q-heads | k-heads | v-heads (matches the fwd)
+    dbqkv = jnp.concatenate(
+        [p for part in (0, 1, 2) for p in dbq_pieces[part]], axis=1
+    )
+    dwproj = jnp.concatenate(dwproj_rows, axis=0)  # [C, C]
+    dbproj = dy.astype(jnp.float32).sum(axis=(0, 2)).reshape(1, -1)
+    dbias = jnp.stack(db_tiles)  # [H, N, N, 128]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = dwqkv
+        dbqkv_ref[...] = dbqkv
+        dwproj_ref[...] = dwproj
+        dbproj_ref[...] = dbproj
+        dbias_ref[...] = dbias
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dwqkv_ref[...] = dwqkv_ref[...] + dwqkv
+        dbqkv_ref[...] = dbqkv_ref[...] + dbqkv
+        dwproj_ref[...] = dwproj_ref[...] + dwproj
+        dbproj_ref[...] = dbproj_ref[...] + dbproj
+        dbias_ref[...] = dbias_ref[...] + dbias
+
+
+def _ncb_spec(N, C, tile):
+    return pl.BlockSpec((N, C, tile), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
+
+
+def _fixed_spec(shape):
+    n = len(shape)
+    return pl.BlockSpec(shape, lambda b: (0,) * n, memory_space=pltpu.VMEM)
+
+
+def _wblock_seed_spec():
+    return pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
+
+
+def _to_ncb(x, tile):
+    """[B_, N, C] -> [N, C, Bp] with the window batch padded to the tile."""
+    B = x.shape[0]
+    pad = (-B) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    return x.transpose(1, 2, 0)
+
+
+def _wblock_compute_dtype(C, dtype):
+    """f32 activations at C>=128 overflow the 16 MB scoped-VMEM stack in the
+    backward (measured 17.9 MB at C=256/tile=128); compute in bf16 there —
+    Mosaic lowers the in-kernel f32 dots as single-pass bf16 regardless, so
+    the extra rounding is storage-only (~1e-3 rel). Outputs keep the input
+    dtype."""
+    if C >= 128 and dtype == jnp.float32:
+        return jnp.bfloat16
+    return dtype
+
+
+def _mask_spec(H, N, tile):
+    return pl.BlockSpec((H, N, N, tile), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM)
+
+
+def _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0,
+                     want_mask=False):
+    B, N, C = x.shape
+    H = bias_l.shape[0]
+    tile = _block_tile(N, C, B)
+    cdt = _wblock_compute_dtype(C, x.dtype)
+    out_dtype = x.dtype
+    x, wqkv, wproj = x.astype(cdt), wqkv.astype(cdt), wproj.astype(cdt)
+    xt = _to_ncb(x, tile)
+    grid = (xt.shape[-1] // tile,)
+    w_specs = [
+        _fixed_spec(wqkv.shape), _fixed_spec((1, bqkv.shape[-1])),
+        _fixed_spec(wproj.shape), _fixed_spec((1, bproj.shape[-1])),
+        _fixed_spec(bias_l.shape),
+    ]
+    in_specs = [_ncb_spec(N, C, tile)] + w_specs
+    operands = [xt, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1), bias_l]
+    out_shape = jax.ShapeDtypeStruct((N, C, xt.shape[-1]), out_dtype)
+    out_specs = _ncb_spec(N, C, tile)
+    if seed is not None:
+        in_specs = [_wblock_seed_spec()] + in_specs
+        operands = [seed] + operands
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((H, N, N, xt.shape[-1]), jnp.bfloat16))
+        out_specs = (out_specs, _mask_spec(H, N, tile))
+    outs = pl.pallas_call(
+        functools.partial(_wblock_fwd_kernel, H, float(rate) if seed is not None else 0.0),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=not _on_tpu(),  # dropout callers gate on the TPU PRNG
+    )(*operands)
+    if seed is not None:
+        y_t, mask = outs
+        y = y_t.transpose(2, 0, 1)[:B]
+        return (y, mask) if want_mask else y
+    return outs.transpose(2, 0, 1)[:B]
+
+
+def _wblock_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate=0.0):
+    B, N, C = x.shape
+    H = bias_l.shape[0]
+    tile = _block_tile(N, C, B)
+    cdt = _wblock_compute_dtype(C, x.dtype)
+    out_dtype = x.dtype
+    x, wqkv, wproj, dy = (a.astype(cdt) for a in (x, wqkv, wproj, dy))
+    xt = _to_ncb(x, tile)
+    dyt = _to_ncb(dy, tile)
+    grid = (xt.shape[-1] // tile,)
+    w_specs = [
+        _fixed_spec(wqkv.shape), _fixed_spec((1, bqkv.shape[-1])),
+        _fixed_spec(wproj.shape), _fixed_spec((1, bproj.shape[-1])),
+        _fixed_spec(bias_l.shape),
+    ]
+    in_specs = [_ncb_spec(N, C, tile)] + w_specs + [_ncb_spec(N, C, tile)]
+    operands = [xt, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1), bias_l, dyt]
+    if mask is not None:
+        in_specs = in_specs + [_mask_spec(H, N, tile)]
+        operands = operands + [mask]
+    out_shape = (
+        jax.ShapeDtypeStruct((N, C, xt.shape[-1]), out_dtype),        # dx
+        jax.ShapeDtypeStruct(wqkv.shape, jnp.float32),                 # dwqkv
+        jax.ShapeDtypeStruct((1, bqkv.shape[-1]), jnp.float32),        # dbqkv
+        jax.ShapeDtypeStruct(wproj.shape, jnp.float32),                # dwproj
+        jax.ShapeDtypeStruct((1, bproj.shape[-1]), jnp.float32),       # dbproj
+        jax.ShapeDtypeStruct(bias_l.shape, jnp.float32),               # dbias
+    )
+    out_specs = (
+        _ncb_spec(N, C, tile),
+        _fixed_spec(wqkv.shape), _fixed_spec((1, bqkv.shape[-1])),
+        _fixed_spec(wproj.shape), _fixed_spec((1, bproj.shape[-1])),
+        _fixed_spec(bias_l.shape),
+    )
+    dx_t, dwqkv, dbqkv, dwproj, dbproj, dbias = pl.pallas_call(
+        functools.partial(_wblock_bwd_kernel, H, float(rate) if mask is not None else 0.0),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=not _on_tpu(),
+    )(*operands)
+    dx = dx_t.transpose(2, 0, 1)[:B]
+    return dx, dwqkv, dbqkv.reshape(-1), dwproj, dbproj.reshape(-1), dbias
+
+
+@jax.custom_vjp
+def fused_window_block(x, wqkv, bqkv, wproj, bproj, bias_l):
+    """proj(softmax((x Wq)(x Wk)^T + bias) (x Wv)) over tiny windows, fully
+    fused fwd+bwd — q scaling pre-folded into wqkv/bqkv by the caller.
+
+    x: [B_, N, C]; wqkv: [C, 3C]; bqkv: [3C]; wproj: [C, C]; bproj: [C];
+    bias_l: [H, N, N, 128] lane-periodic (nW | 128, callers check).
+    Returns [B_, N, C] in x's dtype.
+    """
+    return _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l)
+
+
+def _wblock_fwd_rule(x, wqkv, bqkv, wproj, bproj, bias_l):
+    y = _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l)
+    return y, (x, wqkv, bqkv, wproj, bproj, bias_l)
+
+
+def _wblock_bwd_rule(res, dy):
+    return _wblock_bwd_impl(*res, dy)
+
+
+fused_window_block.defvjp(_wblock_fwd_rule, _wblock_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_window_block_dropout(x, wqkv, bqkv, wproj, bproj, bias_l, seed, rate):
+    """fused_window_block with in-kernel attention dropout (TPU-only: the
+    hardware PRNG has no interpreter support). The backward regenerates the
+    mask from the same (seed, tile, head)."""
+    return _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=seed, rate=rate)
+
+
+def _wblock_fwd_rule_d(x, wqkv, bqkv, wproj, bproj, bias_l, seed, rate):
+    y, mask = _wblock_fwd_impl(
+        x, wqkv, bqkv, wproj, bproj, bias_l, seed=seed, rate=rate, want_mask=True
+    )
+    return y, (x, wqkv, bqkv, wproj, bproj, bias_l, mask)
+
+
+def _wblock_bwd_rule_d(rate, res, dy):
+    x, wqkv, bqkv, wproj, bproj, bias_l, mask = res
+    return _wblock_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=mask, rate=rate) + (None,)
+
+
+fused_window_block_dropout.defvjp(_wblock_fwd_rule_d, _wblock_bwd_rule_d)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_wblock_op(mesh, rate, with_dropout):
+    """shard_map wrap of the whole-block kernel over the ``data`` axis:
+    windows shard, weights/bias replicate, weight gradients psum."""
+    data, repl = P("data"), P()
+    mask_sharded = P(None, None, None, "data")  # window-batch on the LAST axis
+
+    def _local_seed(seed):
+        return seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
+
+    if with_dropout:
+        fwd_specs = (data, repl, repl, repl, repl, repl, repl)
+
+        def fwd_body(x, wqkv, bqkv, wproj, bproj, bias_l, seed):
+            return _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l,
+                                    seed=_local_seed(seed), rate=rate, want_mask=True)
+
+        def bwd_body(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask):
+            dx, *dws = _wblock_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy,
+                                        mask=mask, rate=rate)
+            return (dx, *jax.lax.psum(tuple(dws), "data"))
+
+        fwd_sm = jax.shard_map(fwd_body, mesh=mesh, in_specs=fwd_specs,
+                               out_specs=(data, mask_sharded), check_vma=False)
+        bwd_sm = jax.shard_map(bwd_body, mesh=mesh,
+                               in_specs=fwd_specs[:6] + (data, mask_sharded),
+                               out_specs=(data, repl, repl, repl, repl, repl),
+                               check_vma=False)
+
+        @jax.custom_vjp
+        def op(x, wqkv, bqkv, wproj, bproj, bias_l, seed):
+            y, _ = fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, seed)
+            return y
+
+        def op_fwd(x, wqkv, bqkv, wproj, bproj, bias_l, seed):
+            y, mask = fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, seed)
+            return y, (x, wqkv, bqkv, wproj, bproj, bias_l, mask)
+
+        def op_bwd(res, dy):
+            x, wqkv, bqkv, wproj, bproj, bias_l, mask = res
+            outs = bwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask)
+            return tuple(outs) + (None,)
+
+        op.defvjp(op_fwd, op_bwd)
+        return op
+
+    fwd_specs = (data, repl, repl, repl, repl, repl)
+
+    def fwd_body(x, wqkv, bqkv, wproj, bproj, bias_l):
+        return _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l)
+
+    def bwd_body(x, wqkv, bqkv, wproj, bproj, bias_l, dy):
+        dx, *dws = _wblock_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy)
+        return (dx, *jax.lax.psum(tuple(dws), "data"))
+
+    fwd_sm = jax.shard_map(fwd_body, mesh=mesh, in_specs=fwd_specs,
+                           out_specs=data, check_vma=False)
+    bwd_sm = jax.shard_map(bwd_body, mesh=mesh, in_specs=fwd_specs + (data,),
+                           out_specs=(data, repl, repl, repl, repl, repl),
+                           check_vma=False)
+
+    @jax.custom_vjp
+    def op(x, wqkv, bqkv, wproj, bproj, bias_l):
+        return fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l)
+
+    def op_fwd(x, wqkv, bqkv, wproj, bproj, bias_l):
+        return (fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l),
+                (x, wqkv, bqkv, wproj, bproj, bias_l))
+
+    def op_bwd(res, dy):
+        x, wqkv, bqkv, wproj, bproj, bias_l = res
+        return tuple(bwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, dy))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def sharded_window_block(mesh, x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0):
+    """fused_window_block under shard_map over the mesh's ``data`` axis."""
+    if seed is None:
+        return _sharded_wblock_op(mesh, 0.0, False)(x, wqkv, bqkv, wproj, bproj, bias_l)
+    return _sharded_wblock_op(mesh, float(rate), True)(x, wqkv, bqkv, wproj, bproj, bias_l, seed)
+
+
+# ---------------------------------------------------------------------------
 # reference formulation (tests + fallback math)
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,12 @@ def build_parser():
         help="Capture a jax.profiler trace of a few training steps into this directory.",
     )
     parser.add_argument(
+        "-no_pallas_block",
+        action="store_true",
+        help="Disable the whole-block attention kernel (qkv+attention+proj "
+        "fused per window tile) and use the attention-only kernel.",
+    )
+    parser.add_argument(
         "-hbm_budget_gb",
         type=float,
         default=0,

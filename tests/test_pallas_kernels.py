@@ -311,3 +311,95 @@ def test_dropout_fwd_bwd_tiles_agree(monkeypatch):
         pk._fwd_impl(q, q, q, bias_l, seed=seed, rate=0.2)
         pk._bwd_impl(q, q, q, bias_l, q, seed=seed, rate=0.2)
         assert captured["fwd"] == captured["bwd"], (H, N, D, B)
+
+
+class TestWholeBlockKernel:
+    """fused_window_block (qkv + attention + proj in one VMEM pass): value
+    and EVERY gradient (params + input) against the plain XLA WindowAttention
+    path, same params, masked and unmasked, C=64 and C=256 geometries."""
+
+    def _pair(self, C, H, B_, mask):
+        from focal_tpu.models.swin import WindowAttention
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(B_, 9, C)).astype(np.float32))
+        kw = dict(dim=C, window_size=(3, 3), num_heads=H)
+        plain = WindowAttention(use_pallas=False, **kw)
+        block = WindowAttention(use_pallas=True, use_pallas_block=True, **kw)
+        v = plain.init({"params": jax.random.key(0)}, x, mask, train=False)
+        return plain, block, v, x
+
+    @pytest.mark.parametrize("C,nW", [(64, 1), (64, 4), (256, 2)])
+    def test_matches_xla_path(self, C, nW):
+        # C>=128 computes in bf16 inside the kernel (VMEM budget; Mosaic
+        # single-passes f32 dots as bf16 on hardware anyway) -> bf16-scale
+        # tolerances there, f32-scale at C=64
+        ftol = 5e-5 if C < 128 else 3e-2
+        gtol = 2e-5 if C < 128 else 6e-3
+        from focal_tpu.models.swin import shifted_window_mask
+
+        mask = None
+        if nW == 4:
+            mask = shifted_window_mask(6, 6, 3, 3, 1, 1)
+        elif nW == 2:
+            mask = shifted_window_mask(3, 6, 3, 3, 0, 1)
+            if mask is None or mask.shape[0] != nW:
+                mask = shifted_window_mask(6, 3, 3, 3, 1, 1)
+        plain, block, v, x = self._pair(C, 4, 128, mask)
+        out_p = plain.apply(v, x, mask, train=False)
+        out_b = block.apply(v, x, mask, train=False)
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_p), atol=ftol)
+
+        def loss(m):
+            return lambda vv: jnp.sum(jnp.sin(m.apply(vv, x, mask, train=False)))
+
+        gp = jax.grad(loss(plain))(v)
+        gb = jax.grad(loss(block))(v)
+        for (p1, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gp)[0],
+            jax.tree_util.tree_flatten_with_path(gb)[0],
+        ):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+            assert rel < gtol, (p1, rel)
+        gx_p = jax.grad(lambda x: jnp.sum(jnp.sin(plain.apply(v, x, mask, train=False))))(x)
+        gx_b = jax.grad(lambda x: jnp.sum(jnp.sin(block.apply(v, x, mask, train=False))))(x)
+        rel = float(jnp.abs(gx_p - gx_b).max() / (jnp.abs(gx_p).max() + 1e-9))
+        assert rel < gtol, rel
+
+    def test_sharded_matches_single_device(self):
+        from focal_tpu.parallel.mesh import make_mesh_plan
+
+        plan = make_mesh_plan(8)
+        if plan is None:
+            pytest.skip("needs the 8-device virtual mesh")
+        plain, block, v, x = self._pair(64, 4, 256, None)
+        sharded = type(block)(
+            dim=64, window_size=(3, 3), num_heads=4,
+            use_pallas=True, use_pallas_block=True, pallas_mesh=plan.mesh,
+        )
+        out_b = block.apply(v, x, None, train=False)
+        out_s = sharded.apply(v, x, None, train=False)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b), atol=1e-5)
+
+        def loss(m):
+            return lambda vv: jnp.sum(jnp.sin(m.apply(vv, x, None, train=False)))
+
+        gb = jax.grad(loss(block))(v)
+        gs = jax.jit(jax.grad(loss(sharded)))(v)
+        for (p1, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gs)[0],
+            jax.tree_util.tree_flatten_with_path(gb)[0],
+        ):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+            assert rel < 5e-5, (p1, rel)
+
+    def test_param_tree_matches_dense_path(self):
+        """Checkpoint stability: both paths declare identical param trees."""
+        plain, block, v, x = self._pair(64, 4, 128, None)
+        v2 = block.init({"params": jax.random.key(0)}, x, None, train=False)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v)[0],
+            jax.tree_util.tree_flatten_with_path(v2)[0],
+        ):
+            assert np.shape(a) == np.shape(b), (p1, p2)

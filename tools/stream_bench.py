@@ -52,7 +52,9 @@ def main():
     a = ap.parse_args()
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # prepend, don't replace: this machine's TPU backend registers via an
+    # entry already on PYTHONPATH
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
     resident = run_mode("resident", [], a.samples, a.epochs, env)
     streaming = run_mode(

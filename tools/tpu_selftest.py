@@ -5,7 +5,10 @@ that need real hardware — Mosaic-compiled forward/backward and the
 in-kernel-dropout PRNG — have no CI coverage. Run this directly on the TPU
 host:
 
-    PYTHONPATH=. python tools/tpu_selftest.py
+    PYTHONPATH=.:$PYTHONPATH python tools/tpu_selftest.py
+
+(prepend to PYTHONPATH, don't replace it — some machines register their
+TPU backend via an entry already on the path).
 """
 
 import sys
@@ -168,6 +171,100 @@ def main():
         e = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
         assert e < 1e-2, f"MLP dropout rate->0 backward mismatch ({name}): {e}"
     print("fused MLP dropout: seed variation + rate->0 fwd/bwd limits OK")
+
+    # 6. whole-block kernel (qkv + attention + proj): hardware parity with
+    # the plain XLA WindowAttention path, plus the dropout variant's
+    # fwd/bwd mask agreement via finite differences
+    from focal_tpu.models.swin import WindowAttention
+
+    for C in (64, 256):
+        xw = jnp.asarray(rng.normal(size=(256, 9, C)).astype(np.float32))
+        kw = dict(dim=C, window_size=(3, 3), num_heads=4)
+        plain = WindowAttention(use_pallas=False, **kw)
+        blockm = WindowAttention(use_pallas=True, use_pallas_block=True, **kw)
+        vb = plain.init({"params": jax.random.key(0)}, xw, None, train=False)
+        op = plain.apply(vb, xw, None, train=False)
+        ob = blockm.apply(vb, xw, None, train=False)
+        e = float(jnp.abs(ob - op).max() / (jnp.abs(op).max() + 1e-9))
+        ftol = 5e-4 if C < 128 else 3e-2  # C>=128 computes in bf16 in-kernel
+        assert e < ftol, f"whole-block fwd mismatch C={C}: {e}"
+        gp = jax.jit(jax.grad(lambda v: jnp.sum(jnp.sin(plain.apply(v, xw, None, train=False)))))(vb)
+        gb = jax.jit(jax.grad(lambda v: jnp.sum(jnp.sin(blockm.apply(v, xw, None, train=False)))))(vb)
+        for (p1, a), (_, b2) in zip(
+            jax.tree_util.tree_flatten_with_path(gp)[0],
+            jax.tree_util.tree_flatten_with_path(gb)[0],
+        ):
+            e = float(jnp.abs(a - b2).max() / (jnp.abs(b2).max() + 1e-9))
+            gtol = 1e-3 if C < 128 else 6e-3
+            assert e < gtol, f"whole-block grad mismatch C={C} {p1}: {e}"
+        print(f"whole-block kernel parity C={C}: OK")
+
+    # dropout variant: the forward must be deterministic, its STORED
+    # keep-mask must reproduce its own output, and every backward gradient
+    # must match a reference VJP conditioned on that stored mask (catches
+    # fwd/bwd mask divergence — the round-2 ADVICE-high class of bug).
+    # A finite-difference check is NOT usable here: the in-kernel MXU dots
+    # round f32 as single-pass bf16, and that deterministic-but-nonsmooth
+    # ~6e-3 noise over 147k summed outputs swamps the true directional
+    # derivative at any workable eps (measured: fd 15.2 vs true 0.66).
+    from focal_tpu.ops.pallas_kernels import _wblock_bwd_impl, _wblock_fwd_impl
+
+    B, N, C, H, rate = 256, 9, 64, 4, 0.2
+    xw = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    bias_l64 = jnp.asarray(rng.normal(size=(H, 9, 9, 128)).astype(np.float32))
+    sd = jnp.full((1,), 13, jnp.int32)
+
+    fwd = jax.jit(lambda xx: _wblock_fwd_impl(
+        xx, wqkv, bqkv, wproj, bproj, bias_l64, seed=sd, rate=rate, want_mask=True))
+    y1, m1 = jax.device_get(fwd(xw))
+    y2, m2 = jax.device_get(fwd(xw))
+    assert np.array_equal(y1, y2) and np.array_equal(m1, m2), \
+        "whole-block dropout forward is not deterministic"
+    keep_frac = float(np.mean(np.asarray(m1, np.float32)))
+    assert abs(keep_frac - (1 - rate)) < 0.02, f"keep fraction {keep_frac} vs {1-rate}"
+
+    dy = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    kg = jax.device_get(jax.jit(lambda xx, gy: _wblock_bwd_impl(
+        xx, wqkv, bqkv, wproj, bproj, bias_l64, gy,
+        mask=jnp.asarray(m1), rate=rate))(xw, dy))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        mask_f = jnp.asarray(np.asarray(m1, np.float32))
+
+        def ref_f(xx, wq, bq, wp, bp, bl):
+            hd = C // H
+            qkv = jnp.einsum("bnc,cd->bnd", xx, wq) + bq
+            lane = jnp.arange(B) % 128
+            outs = []
+            for h in range(H):
+                q = qkv[:, :, h * hd:(h + 1) * hd]
+                k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
+                v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+                s = jnp.einsum("bnd,bmd->bnm", q, k) + bl[h].transpose(2, 0, 1)[lane]
+                a = jax.nn.softmax(s, axis=-1)
+                kp = jnp.transpose(mask_f[h][:, :, :B], (2, 0, 1))
+                a = jnp.where(kp > 0.5, a / (1.0 - rate), 0.0)
+                outs.append(jnp.einsum("bnm,bmd->bnd", a, v))
+            return jnp.einsum("bnc,cd->bnd", jnp.concatenate(outs, -1), wp) + bp
+
+        rg = jax.grad(
+            lambda *a: jnp.vdot(ref_f(*a), dy), argnums=(0, 1, 2, 3, 4, 5)
+        )(xw, wqkv, bqkv, wproj, bproj, bias_l64)
+    # forward parity against the same reference
+    e = float(jnp.abs(ref_f(xw, wqkv, bqkv, wproj, bproj, bias_l64) - y1).max()
+              / (jnp.abs(y1).max() + 1e-9))
+    assert e < 3e-2, f"whole-block dropout fwd vs stored-mask reference: {e}"
+    for nm, a, b in zip(("dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"), kg, rg):
+        err = float(np.abs(np.asarray(a, np.float64) - np.asarray(jax.device_get(b), np.float64)).max()
+                    / (np.abs(np.asarray(jax.device_get(b))).max() + 1e-9))
+        assert err < 3e-2, f"whole-block dropout grad mismatch {nm}: {err}"
+    print("whole-block dropout: deterministic fwd, stored-mask fwd parity, "
+          "all 6 grads match the mask-conditioned reference VJP")
 
     print("TPU selftest: ALL OK")
     return 0
