@@ -115,6 +115,8 @@ def bench_jax(model_name):
     ]
     if os.environ.get("FOCAL_NO_PALLAS_BLOCK"):  # A/B the whole-block kernel
         argv.append("-no_pallas_block")
+    if os.environ.get("FOCAL_NO_PALLAS_CONV"):  # A/B the fused conv towers
+        argv.append("-no_pallas_conv")
     args = _make_args(argv)
     seq_len = args.dataset_config["seq_len"]
     model = build_backbone(args)
@@ -161,7 +163,10 @@ def bench_jax(model_name):
     # complete count as the model cost. Costs one extra compile; skip with
     # BENCH_SKIP_XLA_FLOPS=1.
     if getattr(model, "use_pallas", False) and not os.environ.get("BENCH_SKIP_XLA_FLOPS"):
-        xla_model = model.clone(use_pallas=False, use_pallas_block=False)
+        clone_kw = {"use_pallas": False}
+        if hasattr(model, "use_pallas_block"):
+            clone_kw["use_pallas_block"] = False
+        xla_model = model.clone(**clone_kw)
         xla_step = make_pretrain_step(xla_model, augmenter, focal_loss, mesh_plan)
         xla_flops = _step_flops(xla_step, state, data, idx_host, rng)
         if xla_flops:

@@ -36,6 +36,7 @@ class DeepSense(nn.Module):
     task: str
     linear_class_head: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # fused conv-tower kernels for train steps
 
     def setup(self):
         cfgs = self.dataset_config
@@ -62,6 +63,7 @@ class DeepSense(nn.Module):
                     in_stride=in_stride,
                     dropout_ratio=config["dropout_ratio"],
                     dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name=f"loc_mod_extractor_{loc}_{mod}",
                 )
         self.loc_mod_extractors = extractors
@@ -77,6 +79,7 @@ class DeepSense(nn.Module):
                     num_inter_layers=config["loc_conv_inter_layers"],
                     dropout_ratio=config["dropout_ratio"],
                     dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name=f"mod_extractor_{mod}",
                 )
                 for mod in self.modalities

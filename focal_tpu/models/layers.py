@@ -45,6 +45,57 @@ class ConvLayer2D(nn.Module):
         return x
 
 
+class _ConvDecl(nn.Module):
+    """Kernel/bias with nn.Conv's exact names, shapes and initializers, for
+    the fused conv-tower path (checkpoint-compatible with ConvLayer2D)."""
+
+    kh: int
+    kw: int
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kh, self.kw, self.cin, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class _BNDecl(nn.Module):
+    """scale/bias params + mean/var batch_stats with nn.BatchNorm's names,
+    shapes and init values."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
+class _ConvLayerDecl(nn.Module):
+    """Parameter tree of one ConvLayer2D (Conv_0 + BatchNorm_0), declared
+    without running the XLA ops — named ConvLayer2D_{k} by the caller so
+    fused and unfused paths share checkpoints."""
+
+    kh: int
+    kw: int
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k, b = _ConvDecl(self.kh, self.kw, self.cin, self.features, name="Conv_0")()
+        s, bb, mean, var = _BNDecl(self.features, name="BatchNorm_0")()
+        return k, b, s, bb, mean, var
+
+
 class ConvBlock(nn.Module):
     """Per-(loc, mod) encoder: input conv (optionally strided for audio
     downsampling) -> N residual same-padding convs -> per-interval flatten ->
@@ -53,6 +104,12 @@ class ConvBlock(nn.Module):
 
     Input  [b, i, s, c]  ->  Output [b, i_out, out_channels]
     (i_out = 1 when conv_lens[1][0] > 1 fuses the interval axis).
+
+    With use_pallas, train-mode forward+backward run as the fused conv-tower
+    kernel chain (ops/conv_tower.py): one HBM pass per layer instead of
+    XLA's three (conv, BN reduce, elementwise chain). A strided input conv
+    (audio's (1, 80)) stays in XLA — good MXU shape — and feeds the chain
+    externally. Param names are identical in both paths.
     """
 
     out_channels: int
@@ -61,20 +118,25 @@ class ConvBlock(nn.Module):
     in_stride: Sequence[int] = (1, 1)
     dropout_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         half = self.out_channels // 2
         stride = tuple(self.in_stride) if not isinstance(self.in_stride, int) else (1, self.in_stride)
         padding = "SAME" if max(stride) == 1 else "VALID"
-        x = ConvLayer2D(
-            half, self.conv_lens[0], stride, padding, self.dropout_ratio, dtype=self.dtype
-        )(x, train)
 
-        for _ in range(self.num_inter_layers):
-            x = x + ConvLayer2D(
-                half, self.conv_lens[1], (1, 1), "SAME", self.dropout_ratio, dtype=self.dtype
+        fused = self._fused_geometry(x, half, stride)
+        if self.use_pallas and train and fused is not None:
+            x = self._fused_tower(x, half, stride, *fused)
+        else:
+            x = ConvLayer2D(
+                half, self.conv_lens[0], stride, padding, self.dropout_ratio, dtype=self.dtype
             )(x, train)
+            for _ in range(self.num_inter_layers):
+                x = x + ConvLayer2D(
+                    half, self.conv_lens[1], (1, 1), "SAME", self.dropout_ratio, dtype=self.dtype
+                )(x, train)
 
         b, i, s, c = x.shape
         if self.conv_lens[1][0] > 1:
@@ -85,6 +147,76 @@ class ConvBlock(nn.Module):
         # reference applies a kernel-1 Conv1d == per-interval Dense, no activation
         x = nn.Dense(self.out_channels, dtype=self.dtype, name="out_proj")(x)
         return x
+
+    def _fused_geometry(self, x, half, stride):
+        """(s_out, strided) when the fused tower supports this shape, else
+        None — decided BEFORE any param declaration so both paths stay
+        checkpoint-identical."""
+        from focal_tpu.ops.conv_tower import tower_fits
+
+        if self.conv_lens[0][0] != 1 or self.conv_lens[1][0] != 1:
+            return None  # tall kernels fuse the interval axis; XLA path
+        b, i, s, _ = x.shape
+        strided = max(stride) > 1
+        s_out = (s - self.conv_lens[0][1]) // stride[1] + 1 if strided else s
+        if not tower_fits(b * i, s_out, half, self.dtype):
+            return None
+        return s_out, strided
+
+    def _fused_tower(self, x, half, stride, s_out, strided):
+        from focal_tpu.ops.conv_tower import fused_conv_tower
+
+        b, i, s, cin = x.shape
+        L = 1 + self.num_inter_layers
+        kws = [self.conv_lens[0][1]] + [self.conv_lens[1][1]] * self.num_inter_layers
+        cins = [cin] + [half] * self.num_inter_layers
+        decls = [
+            _ConvLayerDecl(1, kws[k], cins[k], half, name=f"ConvLayer2D_{k}")()
+            for k in range(L)
+        ]
+
+        xd = x.astype(self.dtype)
+        if strided:
+            k0, b0 = decls[0][0], decls[0][1]
+            c0 = jax.lax.conv_general_dilated(
+                xd, k0.astype(self.dtype), stride, "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b0.astype(self.dtype)[None, None, None, :]
+            x0 = c0.reshape(b * i, s_out, half)
+        else:
+            x0 = xd.reshape(b * i, s_out, cin)
+
+        cfgs, ws, bs, scales, biases, masks = [], [], [], [], [], []
+        rate = float(self.dropout_ratio)
+        for k in range(L):
+            kk, bb_, sc, bi_, _, _ = decls[k]
+            cfgs.append((kws[k], cins[k], half, k > 0))
+            if k == 0 and strided:
+                ws.append(jnp.zeros((1, 1), self.dtype))  # external c0
+            else:
+                ws.append(kk.reshape(kws[k] * cins[k], half).astype(self.dtype))
+            bs.append(bb_)
+            scales.append(sc)
+            biases.append(bi_)
+            if rate > 0.0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - rate, (b, half))
+                m = keep.astype(jnp.float32) / (1.0 - rate)
+            else:
+                m = jnp.ones((b, half), jnp.float32)
+            masks.append(jnp.repeat(m, i, axis=0))
+
+        a, mus, vars_ = fused_conv_tower(
+            x0, tuple(cfgs), ws, bs, scales, biases, masks,
+            external_c0=strided)
+
+        if not self.is_initializing():
+            # nn.BatchNorm's running-average update (momentum 0.9)
+            for k in range(L):
+                mean_v, var_v = decls[k][4], decls[k][5]
+                mean_v.value = 0.9 * mean_v.value + 0.1 * mus[k]
+                var_v.value = 0.9 * var_v.value + 0.1 * vars_[k]
+        return a.reshape(b, i, s_out, half)
 
 
 class GRULayer(nn.Module):

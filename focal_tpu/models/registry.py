@@ -13,13 +13,20 @@ def build_backbone(args):
         or args.dataset_config[args.model].get("pretrained_head", "linear") == "linear"
     )
     if args.model == "DeepSense":
+        import jax
+
         from focal_tpu.models.deepsense import DeepSense
 
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        use_pallas = (on_tpu or bool(getattr(args, "force_pallas", False))) and not getattr(
+            args, "no_pallas_conv", False
+        )
         return DeepSense(
             dataset_config=args.dataset_config,
             task=args.task,
             linear_class_head=linear_head,
             dtype=dtype,
+            use_pallas=use_pallas,
         )
     if args.model == "SW_Transformer":
         import jax

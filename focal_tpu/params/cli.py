@@ -134,6 +134,12 @@ def build_parser():
         "fused per window tile) and use the attention-only kernel.",
     )
     parser.add_argument(
+        "-no_pallas_conv",
+        action="store_true",
+        help="Disable the fused DeepSense conv-tower kernels (train-mode "
+        "conv+BN+GELU+Dropout2d chains) and use the XLA lowering.",
+    )
+    parser.add_argument(
         "-hbm_budget_gb",
         type=float,
         default=0,

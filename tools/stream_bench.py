@@ -63,10 +63,32 @@ def main():
         a.samples, a.epochs, env,
     )
     ratio = streaming["windows_per_s"] / resident["windows_per_s"]
+
+    # Raw host->device link bandwidth, to separate "streaming pipeline is
+    # slow" from "the link itself is the ceiling" (on a machine where the
+    # chip sits behind a network tunnel, the latter dominates: streaming is
+    # transfer-bound at whatever the link gives). Window bytes at MOD
+    # shapes: audio [1,10,1600] f32 + seismic [1,10,20] f32.
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.zeros((32, 1024, 1024), np.float32)  # 128 MB
+    jax.device_put(buf[:1]).block_until_ready()  # warm the path
+    t0 = time.time()
+    d = jax.device_put(buf)
+    float(jnp.sum(d[0, 0, :2]))  # value-fetch sync
+    link_mb_s = buf.nbytes / (time.time() - t0) / 1e6
+    window_bytes = (10 * 1600 + 10 * 20) * 4
+    link_ceiling_w_s = link_mb_s * 1e6 / window_bytes
     print(json.dumps({
         "device_resident_windows_per_s": resident["windows_per_s"],
         "streaming_windows_per_s": streaming["windows_per_s"],
         "ratio": round(ratio, 3),
+        "h2d_link_mb_per_s": round(link_mb_s, 1),
+        "link_ceiling_windows_per_s": round(link_ceiling_w_s, 1),
+        "streaming_vs_link_ceiling": round(
+            streaming["windows_per_s"] / link_ceiling_w_s, 3),
         "resident_rates": resident["all_rates"],
         "streaming_rates": streaming["all_rates"],
     }))

@@ -266,6 +266,87 @@ def main():
     print("whole-block dropout: deterministic fwd, stored-mask fwd parity, "
           "all 6 grads match the mask-conditioned reference VJP")
 
+    # 7. fused DeepSense conv tower: hardware fwd/bwd parity with an XLA
+    # replica at MOD-like shapes (internal-c0 seismic tower + external-c0
+    # strided audio tower). Mask-conditioned comparison — Dropout2d masks
+    # are generated outside the kernels, so both sides see the same masks.
+    from focal_tpu.ops.conv_tower import BN_EPS, fused_conv_tower
+
+    def tower_ref(x0, cfgs, ws, bs, scales, biases, masks, external_c0):
+        c = None
+        a = None
+        for k, (kw2, cin, cout, residual) in enumerate(cfgs):
+            if k == 0 and external_c0:
+                c = x0
+            else:
+                src = a if k > 0 else x0
+                lo = (kw2 - 1) // 2
+                w4 = ws[k].reshape(kw2, cin, cout)[None]
+                c = jax.lax.conv_general_dilated(
+                    src[:, None], w4, (1, 1), [(0, 0), (lo, kw2 - 1 - lo)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )[:, 0] + bs[k][None, None, :]
+                c = c.astype(x0.dtype)
+            cf = c.astype(jnp.float32)
+            mu = cf.mean(axis=(0, 1))
+            var = jnp.maximum((cf * cf).mean(axis=(0, 1)) - mu * mu, 0.0)
+            xhat = (cf - mu) * jax.lax.rsqrt(var + BN_EPS)
+            yb = xhat * scales[k] + biases[k]
+            z = jax.nn.gelu(yb, approximate=False) * masks[k][:, None, :]
+            if residual:
+                z = z + a.astype(jnp.float32)
+            a = z.astype(x0.dtype)
+        return a
+
+    for cfgs, S_t, ext in (
+        (((3, 2, 32, False), (3, 32, 32, True), (3, 32, 32, True)), 20, False),
+        (((8, 2, 32, False), (3, 32, 32, True), (3, 32, 32, True)), 12, True),
+    ):
+        R_t = 640
+        cin0 = cfgs[0][2] if ext else cfgs[0][1]
+        x0 = jnp.asarray(rng.normal(size=(R_t, S_t, cin0)).astype(np.float32))
+        ws, bs, scales, biases, masks = [], [], [], [], []
+        for kw2, cin, cout, _ in cfgs:
+            ws.append(jnp.asarray(rng.normal(size=(kw2 * cin, cout)).astype(np.float32) * 0.2))
+            bs.append(jnp.asarray(rng.normal(size=(cout,)).astype(np.float32) * 0.1))
+            scales.append(jnp.asarray(1.0 + 0.1 * rng.normal(size=(cout,)).astype(np.float32)))
+            biases.append(jnp.asarray(0.1 * rng.normal(size=(cout,)).astype(np.float32)))
+            keep = rng.random((R_t, cout)) > 0.2
+            masks.append(jnp.asarray((keep / 0.8).astype(np.float32)))
+
+        def tf_loss(x0, ws, scales, biases):
+            y0, _, _ = fused_conv_tower(x0, cfgs, ws, bs, scales, biases, masks,
+                                        external_c0=ext)
+            return jnp.sum(jnp.sin(y0))
+
+        def tr_loss(x0, ws, scales, biases):
+            return jnp.sum(jnp.sin(tower_ref(x0, cfgs, ws, bs, scales, biases,
+                                             masks, ext)))
+
+        yf, _, _ = fused_conv_tower(x0, cfgs, ws, bs, scales, biases, masks,
+                                    external_c0=ext)
+        yr = tower_ref(x0, cfgs, ws, bs, scales, biases, masks, ext)
+        e = float(jnp.abs(yf - yr).max() / (jnp.abs(yr).max() + 1e-9))
+        assert e < 5e-3, f"conv tower fwd mismatch (ext={ext}): {e}"
+        gf = jax.jit(jax.grad(tf_loss, argnums=(0, 1, 2, 3)))(
+            x0, tuple(ws), tuple(scales), tuple(biases))
+        gr = jax.jit(jax.grad(tr_loss, argnums=(0, 1, 2, 3)))(
+            x0, tuple(ws), tuple(scales), tuple(biases))
+        start = 1 if ext else 0
+        for nm, a, b in zip(("dx0", "dws", "dscales", "dbiases"), gf, gr):
+            if nm == "dws":
+                pairs = [(a[k], b[k], k) for k in range(start, len(cfgs))]
+            elif nm == "dx0":
+                pairs = [(a, b, -1)]
+            else:
+                pairs = [(a[k], b[k], k) for k in range(len(cfgs))]
+            for aa, bb, k in pairs:
+                an = np.asarray(jax.device_get(aa), np.float64)
+                bn = np.asarray(jax.device_get(bb), np.float64)
+                err = np.abs(an - bn).max() / (np.abs(bn).max() + 1e-9)
+                assert err < 2e-2, f"conv tower grad mismatch ext={ext} {nm}[{k}]: {err}"
+        print(f"conv tower parity (external_c0={ext}): fwd+bwd OK")
+
     print("TPU selftest: ALL OK")
     return 0
 
