@@ -115,8 +115,8 @@ def bench_jax(model_name):
     ]
     if os.environ.get("FOCAL_NO_PALLAS_BLOCK"):  # A/B the whole-block kernel
         argv.append("-no_pallas_block")
-    if os.environ.get("FOCAL_NO_PALLAS_CONV"):  # A/B the fused conv towers
-        argv.append("-no_pallas_conv")
+    if os.environ.get("FOCAL_PALLAS_CONV"):  # A/B the fused conv towers
+        argv.append("-pallas_conv")
     args = _make_args(argv)
     seq_len = args.dataset_config["seq_len"]
     model = build_backbone(args)

@@ -159,7 +159,9 @@ class ConvBlock(nn.Module):
         b, i, s, _ = x.shape
         strided = max(stride) > 1
         s_out = (s - self.conv_lens[0][1]) // stride[1] + 1 if strided else s
-        if not tower_fits(b * i, s_out, half, self.dtype):
+        kw_max = self.conv_lens[1][1] if strided else max(
+            self.conv_lens[0][1], self.conv_lens[1][1])
+        if not tower_fits(b * i, s_out, half, self.dtype, kw_max=kw_max):
             return None
         return s_out, strided
 

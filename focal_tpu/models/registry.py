@@ -13,13 +13,14 @@ def build_backbone(args):
         or args.dataset_config[args.model].get("pretrained_head", "linear") == "linear"
     )
     if args.model == "DeepSense":
-        import jax
-
         from focal_tpu.models.deepsense import DeepSense
 
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        use_pallas = (on_tpu or bool(getattr(args, "force_pallas", False))) and not getattr(
-            args, "no_pallas_conv", False
+        # fused conv towers ship OPT-IN: measured 2.2x SLOWER than the XLA
+        # lowering at reference channel dims (C=32 pads lanes 4x and the
+        # kernel-chain grid overhead dominates; BASELINE.md "tried and
+        # rejected"). -pallas_conv / args.force_pallas engage them.
+        use_pallas = bool(getattr(args, "pallas_conv", False)) or bool(
+            getattr(args, "force_pallas", False)
         )
         return DeepSense(
             dataset_config=args.dataset_config,

@@ -68,9 +68,11 @@ def _pick_trr(R, S, C, dtype, kw_max=5):
     return None
 
 
-def tower_fits(R, S, C, dtype):
-    """Whether the fused path supports this geometry."""
-    return _pick_trr(R, S, C, dtype) is not None
+def tower_fits(R, S, C, dtype, kw_max=5):
+    """Whether the fused path supports this geometry. kw_max must be the
+    widest kernel that actually runs IN-kernel (external-c0 towers exclude
+    layer 0's conv — it runs in XLA), matching _tower_op's tile pick."""
+    return _pick_trr(R, S, C, dtype, kw_max=kw_max) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -434,8 +436,10 @@ def _tower_op(cfg_key, R, S, store_dtype_name, external_c0):
     L = len(cfgs)
     store_dtype = jnp.dtype(store_dtype_name)
     n = float(R * S)
-    TRr = _pick_trr(R, S, max(c[2] for c in cfgs), store_dtype,
-                    kw_max=max(c[0] for c in cfgs))
+    # external-c0 towers never run layer 0's conv in-kernel: its (possibly
+    # huge, e.g. 80-tap) width must not shrink the VMEM row tile
+    kw_max = max(c[0] for k, c in enumerate(cfgs) if not (external_c0 and k == 0))
+    TRr = _pick_trr(R, S, max(c[2] for c in cfgs), store_dtype, kw_max=kw_max)
     assert TRr is not None, "caller must gate on tower_fits()"
     TRS = TRr * S
     interp = _interp()

@@ -134,10 +134,11 @@ def build_parser():
         "fused per window tile) and use the attention-only kernel.",
     )
     parser.add_argument(
-        "-no_pallas_conv",
+        "-pallas_conv",
         action="store_true",
-        help="Disable the fused DeepSense conv-tower kernels (train-mode "
-        "conv+BN+GELU+Dropout2d chains) and use the XLA lowering.",
+        help="Opt into the fused DeepSense conv-tower kernels (train-mode "
+        "conv+BN+GELU+Dropout2d chains). Off by default: measured slower "
+        "than the XLA lowering at reference channel dims (BASELINE.md).",
     )
     parser.add_argument(
         "-hbm_budget_gb",
