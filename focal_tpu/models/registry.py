@@ -16,7 +16,7 @@ def build_backbone(args):
         from focal_tpu.models.deepsense import DeepSense
 
         # fused conv towers ship OPT-IN: measured 2.2x SLOWER than the XLA
-        # lowering at reference channel dims (C=32 pads lanes 4x and the
+        # lowering at reference channel dims (C=64 pads lanes 2x and the
         # kernel-chain grid overhead dominates; BASELINE.md "tried and
         # rejected"). -pallas_conv / args.force_pallas engage them.
         use_pallas = bool(getattr(args, "pallas_conv", False)) or bool(
