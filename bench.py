@@ -28,6 +28,9 @@ import sys
 import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+# alternate recipe (e.g. MOD_WIDE, the 4x-width production-scale config);
+# the metric name and the torch-baseline cache key carry the dataset suffix
+DATASET = os.environ.get("BENCH_DATASET", "MOD")
 # 50 steps ~ 350 ms of measured compute for DeepSense: enough signal that
 # run-to-run variance stays within a few percent
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
@@ -109,7 +112,7 @@ def bench_jax(model_name):
     phase("devices")
 
     argv = [
-        "-dataset", "MOD", "-model", model_name,
+        "-dataset", DATASET, "-model", model_name,
         "-learn_framework", "FOCAL", "-stage", "pretrain", "-synthetic",
         "-compute_dtype", os.environ.get("BENCH_DTYPE", "bfloat16"),
     ]
@@ -117,6 +120,8 @@ def bench_jax(model_name):
         argv.append("-no_pallas_block")
     if os.environ.get("FOCAL_PALLAS_CONV"):  # A/B the fused conv towers
         argv.append("-pallas_conv")
+    if os.environ.get("FOCAL_PALLAS_MLP"):  # A/B the fused Swin MLP
+        argv.append("-pallas_mlp")
     args = _make_args(argv)
     seq_len = args.dataset_config["seq_len"]
     model = build_backbone(args)
@@ -164,8 +169,9 @@ def bench_jax(model_name):
     # BENCH_SKIP_XLA_FLOPS=1.
     if getattr(model, "use_pallas", False) and not os.environ.get("BENCH_SKIP_XLA_FLOPS"):
         clone_kw = {"use_pallas": False}
-        if hasattr(model, "use_pallas_block"):
-            clone_kw["use_pallas_block"] = False
+        for extra in ("use_pallas_block", "use_pallas_mlp"):
+            if hasattr(model, extra):
+                clone_kw[extra] = False
         xla_model = model.clone(**clone_kw)
         xla_step = make_pretrain_step(xla_model, augmenter, focal_loss, mesh_plan)
         xla_flops = _step_flops(xla_step, state, data, idx_host, rng)
@@ -195,6 +201,8 @@ def bench_jax(model_name):
 def bench_torch_baseline(model_name):
     """The reference implementation's pretrain step (CPU), cached per model."""
     key = f"reference_windows_per_sec_{model_name.lower()}"
+    if DATASET != "MOD":
+        key += f"_{DATASET.lower()}"
     cached = {}
     if os.path.exists(CACHE):
         try:
@@ -233,8 +241,16 @@ def _measure_reference(model_name, steps=None, batch=None):
     batch = batch or BASELINE_BATCH[model_name]
     torch.manual_seed(0)
 
-    with open(os.path.join(REF_SRC, "data", "MOD.yaml")) as f:
-        cfg = yaml.safe_load(f)
+    if DATASET == "MOD":
+        with open(os.path.join(REF_SRC, "data", "MOD.yaml")) as f:
+            cfg = yaml.safe_load(f)
+    else:
+        # schema-compatible alternate recipe (e.g. MOD_WIDE): feed it to the
+        # reference's own modules so vs_baseline compares equal-width models
+        from focal_tpu.params.yaml_utils import load_dataset_config
+
+        cfg = load_dataset_config(DATASET)
+        batch = max(4, batch // 4)  # 4x-width torch-CPU steps are slow
     args = SimpleNamespace(
         dataset_config=cfg,
         device="cpu",
@@ -306,7 +322,7 @@ def main():
         baseline = bench_torch_baseline(model_name)
         vs = value / baseline if baseline else 1.0
         line = {
-            "metric": f"focal_pretrain_{model_name.lower()}_mod_throughput",
+            "metric": f"focal_pretrain_{model_name.lower()}_{DATASET.lower()}_throughput",
             "value": round(value, 2),
             "unit": "windows/s/chip",
             "vs_baseline": round(vs, 2),

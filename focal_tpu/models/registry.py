@@ -48,6 +48,8 @@ def build_backbone(args):
             dtype=dtype,
             use_pallas=use_pallas,
             use_pallas_block=use_pallas and not getattr(args, "no_pallas_block", False),
+            # opt-in (-pallas_mlp): pays off only at wide dims (see SwinBlock)
+            use_pallas_mlp=use_pallas and bool(getattr(args, "pallas_mlp", False)),
             pallas_mesh=None if plan is None else plan.mesh,
         )
     raise ValueError(f"Invalid model provided: {args.model}")

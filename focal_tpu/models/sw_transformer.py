@@ -45,6 +45,7 @@ class SWTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_block: bool = False
+    use_pallas_mlp: bool = False
     pallas_mesh: Any = None
 
     def setup(self):
@@ -115,7 +116,8 @@ class SWTransformer(nn.Module):
                             downsample=i_layer < len(block_num) - 1,
                             dtype=self.dtype,
                             use_pallas=self.use_pallas,
-                use_pallas_block=self.use_pallas_block,
+                            use_pallas_block=self.use_pallas_block,
+                            use_pallas_mlp=self.use_pallas_mlp,
                             pallas_mesh=self.pallas_mesh,
                             name=f"stage{i_layer}_{loc}_{mod}",
                         )

@@ -147,13 +147,18 @@ class WindowAttention(nn.Module):
             and (not dropout_active or _on_tpu())
         )
 
-        if use_fused and self.use_pallas_block:
+        from focal_tpu.ops.pallas_kernels import wblock_fits
+
+        if use_fused and self.use_pallas_block and wblock_fits(N, C):
             # whole-block kernel: qkv projection + attention + output
             # projection in one VMEM pass per tile. The separate Dense layers
             # would run on the window layout, and their BACKWARD materialises
             # the [B_, N, 3C] gradient plus its conversion back to image
             # layout — profiled at ~13 ms of an 84 ms SW step (BASELINE.md).
             # Params keep nn.Dense's exact names/shapes (checkpoint-stable).
+            # wblock_fits: wide stages (C>=512) exceed Mosaic's scoped-VMEM
+            # stack at the minimum tile and fall back to the attention-only
+            # kernel below (per-head D=C/H stays small).
             from focal_tpu.ops.pallas_kernels import (
                 expand_bias_lanes,
                 fused_window_block,
@@ -361,6 +366,7 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_block: bool = False
+    use_pallas_mlp: bool = False
     pallas_mesh: Any = None
 
     @nn.compact
@@ -397,13 +403,15 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        # the fused pallas MLP is intentionally NOT enabled here: measured on
-        # v5e it is 6% slower than XLA's lowering (2,838 vs 3,034 windows/s)
-        # — at C=64..256 the MLP is MXU-utilization-bound (K=64 contractions),
-        # not HBM-bound, so saving the hidden's round trip doesn't pay. The
-        # kernel stays available (Mlp(use_pallas=True)) for wider models.
+        # the fused pallas MLP is OPT-IN (-pallas_mlp): at reference dims it
+        # measured 6% slower than XLA's lowering (2,838 vs 3,034 windows/s) —
+        # C=64..256 MLPs are MXU-utilization-bound (K=64 contractions), not
+        # HBM-bound, so saving the hidden's round trip doesn't pay there; it
+        # exists for wider models (MOD_WIDE) where the [rows, 4C] hidden's
+        # two HBM round trips dominate.
         y = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp",
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype,
+            use_pallas=self.use_pallas_mlp, pallas_mesh=self.pallas_mesh, name="mlp",
         )(y, train)
         return x + DropPath(self.drop_path, name="drop_path2")(y, train)
 
@@ -447,6 +455,7 @@ class BasicLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_block: bool = False
+    use_pallas_mlp: bool = False
     pallas_mesh: Any = None
 
     @nn.compact
@@ -472,6 +481,7 @@ class BasicLayer(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 use_pallas_block=self.use_pallas_block,
+                use_pallas_mlp=self.use_pallas_mlp,
                 pallas_mesh=self.pallas_mesh,
                 name=f"block{i}",
             )(x, train)

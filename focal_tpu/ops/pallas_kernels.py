@@ -822,6 +822,22 @@ def _block_tile(N, C, B):
     return _pick_tile(N, C, B, n_nd_bufs=11, n_nn_bufs=6)
 
 
+# Mosaic's scoped-VMEM stack limit; the minimum lane tile is LANE=128, so
+# wide channel dims can make the whole-block working set unfittable at ANY
+# tile (measured: C=512, N=9 allocates 18.3 MB of stack and aborts compile).
+_SCOPED_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def wblock_fits(N, C):
+    """Static feasibility of the whole-block kernel at (window N, channels C):
+    True iff the backward's working set at the minimum tile fits Mosaic's
+    16 MB scoped-VMEM stack (with headroom for compiler temporaries). Callers
+    fall back to the attention-only kernel (per-head D=C/H stays small) when
+    this is False — e.g. MOD_WIDE's C=512/1024 stages."""
+    working_set = (11 * N * C + 6 * N * N) * LANE * 4
+    return working_set <= int(_SCOPED_VMEM_LIMIT * 0.9)
+
+
 def _wblock_fwd_math(x, wqkv, bqkv, wproj, bproj, bias_full, H, seed_ref, rate,
                      mask_ref=None):
     """x: [N, C, TB] in storage dtype; dots run in that dtype with f32

@@ -141,6 +141,13 @@ def build_parser():
         "than the XLA lowering at reference channel dims (BASELINE.md).",
     )
     parser.add_argument(
+        "-pallas_mlp",
+        action="store_true",
+        help="Opt into the fused Swin MLP kernel (fc1+GELU+dropout+fc2, the "
+        "4C hidden never reaches HBM). Off by default: slower at reference "
+        "dims, intended for wide configs like MOD_WIDE (BASELINE.md).",
+    )
+    parser.add_argument(
         "-hbm_budget_gb",
         type=float,
         default=0,

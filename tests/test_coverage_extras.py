@@ -45,7 +45,7 @@ def test_random_pipeline_aug_id(make_args):
     assert len(set(np.asarray(aug_ids).tolist())) == 1  # one augmenter per batch
 
 
-@pytest.mark.parametrize("dataset", ["MOD", "ACIDS", "RealWorld_HAR", "PAMAP2"])
+@pytest.mark.parametrize("dataset", ["MOD", "ACIDS", "RealWorld_HAR", "PAMAP2", "MOD_WIDE"])
 def test_all_recipes_forward_deepsense(dataset):
     """Every shipped recipe must build and forward DeepSense (shrunk dims to
     keep CPU compile fast; the geometry/shape logic is what's under test)."""
@@ -78,7 +78,7 @@ def test_all_recipes_forward_deepsense(dataset):
     assert all(p.shape == (2, 16) for p in proj.values())
 
 
-@pytest.mark.parametrize("dataset", ["MOD", "ACIDS", "RealWorld_HAR", "PAMAP2"])
+@pytest.mark.parametrize("dataset", ["MOD", "ACIDS", "RealWorld_HAR", "PAMAP2", "MOD_WIDE"])
 def test_all_recipes_forward_sw_transformer(dataset):
     """Every shipped recipe must build and forward SW_Transformer too —
     padding/shrink geometry is per-recipe and breaks per-recipe (VERDICT

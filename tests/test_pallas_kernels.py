@@ -398,6 +398,23 @@ class TestWholeBlockKernel:
         plain, block, v, x = self._pair(64, 4, 128, None)
         v2 = block.init({"params": jax.random.key(0)}, x, None, train=False)
         assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    def test_wide_channels_fall_back(self):
+        """At C>=512 the whole-block working set exceeds Mosaic's scoped-VMEM
+        stack at the minimum lane tile (measured 18.3 MB vs the 16 MB limit
+        on hardware), so use_pallas_block must fall back to the attention-only
+        kernel — same values, same param tree (MOD_WIDE stages 1-2 hit this)."""
+        from focal_tpu.ops.pallas_kernels import wblock_fits
+
+        assert wblock_fits(9, 64) and wblock_fits(9, 256)
+        assert not wblock_fits(9, 512) and not wblock_fits(9, 1024)
+
+        plain, block, v, x = self._pair(512, 4, 128, None)
+        out_p = plain.apply(v, x, None, train=False)
+        out_b = block.apply(v, x, None, train=False)  # silently not-the-block-kernel
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_p), atol=5e-5)
+        v2 = block.init({"params": jax.random.key(0)}, x, None, train=False)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
         for (p1, a), (p2, b) in zip(
             jax.tree_util.tree_flatten_with_path(v)[0],
             jax.tree_util.tree_flatten_with_path(v2)[0],
