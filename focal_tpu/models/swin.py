@@ -310,6 +310,7 @@ class Mlp(nn.Module):
             from focal_tpu.ops.pallas_kernels import (
                 fused_mlp,
                 fused_mlp_dropout,
+                mlp_fits,
                 sharded_fused_mlp,
             )
 
@@ -320,7 +321,9 @@ class Mlp(nn.Module):
             rows = int(np.prod(lead))
             mesh = self.pallas_mesh
             n_shards = mesh.size if mesh is not None else 1
-            if rows % max(n_shards, 1) == 0:
+            # mlp_fits: wide layers overflow Mosaic's scoped-VMEM stack (the
+            # kernel holds w1/w2 + grad accumulators whole) -> plain math
+            if rows % max(n_shards, 1) == 0 and mlp_fits(C, self.hidden):
                 x2 = x.reshape(rows, C).astype(self.dtype)
                 seed = None
                 if train and self.drop > 0.0:

@@ -469,6 +469,18 @@ def _mlp_tile(C, H):
     return tile
 
 
+def mlp_fits(C, H):
+    """Static feasibility of the fused MLP at (channels C, hidden H): the
+    kernel keeps whole weight matrices in VMEM (w1/w2 + their grad
+    accumulators in the backward), so wide layers can't fit at ANY row tile
+    (measured: C=1024/H=4096 allocates 32 MB of scoped stack and aborts
+    compile). Callers fall back to the plain nn.Dense math when False —
+    e.g. MOD_WIDE stages 1-2."""
+    weights = 4 * C * H * 4  # w1, w2, dw1, dw2 (f32 VMEM buffers, backward)
+    working = _mlp_tile(C, H) * (4 * H + 3 * C) * 4
+    return weights + working <= int(16 * 1024 * 1024 * 0.9)
+
+
 def _erf(x):
     """Abramowitz & Stegun 7.1.26 rational approximation (max abs err
     1.5e-7): Mosaic has no erf primitive, and 1.5e-7 is far below bf16

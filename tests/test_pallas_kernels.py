@@ -399,6 +399,26 @@ class TestWholeBlockKernel:
         v2 = block.init({"params": jax.random.key(0)}, x, None, train=False)
         assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
 
+    def test_mlp_wide_dims_fall_back(self):
+        """mlp_fits gates the fused MLP where its whole-weights-in-VMEM
+        layout can't fit (measured 32 MB scoped stack at C=1024/H=4096);
+        the module must silently use the plain path there — same values."""
+        from focal_tpu.models.swin import Mlp
+        from focal_tpu.ops.pallas_kernels import mlp_fits
+
+        assert mlp_fits(64, 256) and mlp_fits(256, 1024)
+        assert not mlp_fits(512, 2048) and not mlp_fits(1024, 4096)
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+        plain = Mlp(hidden=2048, out=512, use_pallas=False)
+        fused = Mlp(hidden=2048, out=512, use_pallas=True)
+        v = plain.init({"params": jax.random.key(0)}, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(v, x, train=False)),
+            np.asarray(plain.apply(v, x, train=False)), atol=1e-5,
+        )
+
     def test_wide_channels_fall_back(self):
         """At C>=512 the whole-block working set exceeds Mosaic's scoped-VMEM
         stack at the minimum lane tile (measured 18.3 MB vs the 16 MB limit
