@@ -51,8 +51,8 @@ def build_step(model_name):
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     mesh_plan = make_mesh_plan(0)
     args = _make_args([
-        "-dataset", "MOD", "-model", model_name, "-learn_framework", "FOCAL",
-        "-stage", "pretrain", "-synthetic",
+        "-dataset", os.environ.get("BENCH_DATASET", "MOD"), "-model", model_name,
+        "-learn_framework", "FOCAL", "-stage", "pretrain", "-synthetic",
         "-compute_dtype", os.environ.get("BENCH_DTYPE", "bfloat16"),
     ])
     model = build_backbone(args)
