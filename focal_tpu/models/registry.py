@@ -12,6 +12,10 @@ def build_backbone(args):
         args.train_mode == "supervised"
         or args.dataset_config[args.model].get("pretrained_head", "linear") == "linear"
     )
+    # tensor parallelism routes attention/convs through XLA: the pallas
+    # kernels are shard_map'd over the data axis only, while GSPMD owns the
+    # model-axis layout (parallel/tp.py docstring)
+    mp = getattr(args, "model_parallel", 1) or 1
     if args.model == "DeepSense":
         from focal_tpu.models.deepsense import DeepSense
 
@@ -19,9 +23,10 @@ def build_backbone(args):
         # lowering at reference channel dims (C=64 pads lanes 2x and the
         # kernel-chain grid overhead dominates; BASELINE.md "tried and
         # rejected"). -pallas_conv / args.force_pallas engage them.
-        use_pallas = bool(getattr(args, "pallas_conv", False)) or bool(
-            getattr(args, "force_pallas", False)
-        )
+        use_pallas = (
+            bool(getattr(args, "pallas_conv", False))
+            or bool(getattr(args, "force_pallas", False))
+        ) and mp == 1
         return DeepSense(
             dataset_config=args.dataset_config,
             task=args.task,
@@ -39,7 +44,7 @@ def build_backbone(args):
         # slower than the XLA path; tests opt in via args.force_pallas). On a
         # >1-device mesh the kernels run under shard_map over the data axis.
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        use_pallas = on_tpu or bool(getattr(args, "force_pallas", False))
+        use_pallas = (on_tpu or bool(getattr(args, "force_pallas", False))) and mp == 1
         plan = make_mesh_plan(getattr(args, "data_parallel", 0)) if use_pallas else None
         return SWTransformer(
             dataset_config=args.dataset_config,

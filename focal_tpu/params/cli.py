@@ -77,6 +77,15 @@ def build_parser():
         default=0,
         help="Number of devices on the data mesh axis (0 = all local devices).",
     )
+    parser.add_argument(
+        "-model_parallel",
+        type=int,
+        default=1,
+        help="Tensor-parallel ways on a trailing 'model' mesh axis: the wide "
+        "matmuls' weights (conv channels, Swin MLPs, projections) are "
+        "Megatron-sharded and GSPMD inserts the collectives (parallel/tp.py). "
+        "Single-process only; routes attention through the XLA path.",
+    )
     parser.add_argument("-seed", type=int, default=0, help="PRNG seed.")
     parser.add_argument(
         "-clip_grad",

@@ -30,9 +30,10 @@ class EvalPlan:
         self.labels = loader.dataset.labels[self.idx]  # [nb, B]
 
 
-def make_batched_forward(model, augmenter, head, mesh_plan=None):
+def make_batched_forward(model, augmenter, head, mesh_plan=None, state_shardings=None):
     """(state, data, idx_matrix[nb, B]) -> outputs stacked over batches,
-    computed in one device call."""
+    computed in one device call. state_shardings: TP-sharded state layout
+    (parallel/tp.py) so eval accepts the training state without resharding."""
 
     def fn(state, data, idx_matrix):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -48,9 +49,10 @@ def make_batched_forward(model, augmenter, head, mesh_plan=None):
     if mesh_plan is None:
         return jax.jit(fn)
     r = mesh_plan.replicated
+    s = state_shardings if state_shardings is not None else r
     # outputs replicated: metrics are computed host-side, and on a
     # multi-process mesh only fully-replicated arrays are fetchable
-    return jax.jit(fn, in_shardings=(r, r, r), out_shardings=r)
+    return jax.jit(fn, in_shardings=(s, r, r), out_shardings=r)
 
 
 class ShardedEvalPlan:
@@ -192,7 +194,7 @@ def compute_knn(state, fwd_feat, plan, train_data, backend="sklearn"):
     return estimator
 
 
-def make_batched_pretrain_loss(model, augmenter, focal_loss, mesh_plan=None):
+def make_batched_pretrain_loss(model, augmenter, focal_loss, mesh_plan=None, state_shardings=None):
     """Mean pretrain loss over a split in one device call
     (reference: eval_functions.py:65-80 reuses calc_pretrain_loss)."""
 
@@ -215,7 +217,8 @@ def make_batched_pretrain_loss(model, augmenter, focal_loss, mesh_plan=None):
     if mesh_plan is None:
         return jax.jit(fn)
     r = mesh_plan.replicated
-    return jax.jit(fn, in_shardings=(r, r, r, r), out_shardings=r)
+    s = state_shardings if state_shardings is not None else r
+    return jax.jit(fn, in_shardings=(s, r, r, r), out_shardings=r)
 
 
 def eval_pretrained(args, state, fwd_feat, loss_fn, estimator, plan, data, rng):

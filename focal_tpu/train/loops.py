@@ -44,13 +44,20 @@ class Run:
 
     def __init__(self, args):
         self.args = args
-        self.mesh_plan = make_mesh_plan(getattr(args, "data_parallel", 0))
+        mp = getattr(args, "model_parallel", 1) or 1
+        if mp > 1 and dist.process_count() > 1:
+            raise ValueError("-model_parallel is single-process only (v1)")
+        self.mesh_plan = make_mesh_plan(getattr(args, "data_parallel", 0), mp)
         layout = getattr(args, "data_layout", None) or "auto"
         if layout == "auto":
             layout = "sharded" if dist.process_count() > 1 else "replicated"
-        if self.mesh_plan is None:
-            layout = "replicated"
+        if self.mesh_plan is None or self.mesh_plan.mp > 1:
+            layout = "replicated"  # TP keeps data replicated over the model axis
         self.data_layout = layout
+        if self.mesh_plan is not None and self.mesh_plan.mp > 1:
+            logging.info(
+                f"= Mesh: {self.mesh_plan.dp} (data) x {self.mesh_plan.mp} (model) devices"
+            )
         self.train_loader = create_dataloader("train", args)
         self.val_loader = create_dataloader("val", args)
         self.test_loader = create_dataloader("test", args)
@@ -72,10 +79,16 @@ class Run:
 
         self.streaming = False
         train_bytes = strm.split_nbytes(self.train_loader.dataset.data)
-        n_dev = self.mesh_plan.num_devices if self.mesh_plan else 1
+        n_dev = self.mesh_plan.dp if self.mesh_plan else 1
         per_device = train_bytes // n_dev if self.data_layout == "sharded" else train_bytes
         budget = strm.device_budget_bytes(args)
-        if per_device > budget:
+        if per_device > budget and self.mesh_plan is not None and self.mesh_plan.mp > 1:
+            logging.warning(
+                f"= Train split needs {per_device / 1e9:.2f} GB/device over the "
+                f"{budget / 1e9:.2f} GB budget; streaming is DP-only, continuing "
+                "device-resident under tensor parallelism"
+            )
+        elif per_device > budget:
             if dist.process_count() > 1:
                 logging.warning(
                     f"= Train split needs {per_device / 1e9:.2f} GB/device over the "
@@ -127,7 +140,7 @@ class Run:
         static shard assignment would otherwise inherit any class ordering in
         the files), and store each device's rows contiguously — subsequences
         stay whole inside one device, so sequence gathers are local."""
-        n_dev = self.mesh_plan.num_devices
+        n_dev = self.mesh_plan.dp
         rng = np.random.default_rng(self.args.seed + 17)
         sequence = self.train_loader.sequence
         if sequence and ds.subseq_idx is not None:
@@ -164,6 +177,22 @@ class Run:
         }
         self.device_data["train"] = dist.put_row_sharded(host, self.mesh_plan)
         self.device_labels["train"] = dist.put_row_sharded(jnp.asarray(labels_grouped), self.mesh_plan)
+
+    def state_plan(self, state):
+        """Place the train state on the mesh -> (state, shardings-or-None).
+        DP replicates; TP (model axis) places params/stats/moments by the
+        Megatron rules in parallel/tp.py."""
+        if self.mesh_plan is not None and self.mesh_plan.mp > 1:
+            from focal_tpu.parallel import tp
+
+            sh = tp.state_shardings(state, self.mesh_plan)
+            state = jax.device_put(state, sh)
+            logging.info(
+                f"= TP: {tp.sharded_leaf_count(state, self.mesh_plan)} "
+                "model-sharded state leaves"
+            )
+            return state, sh
+        return dist.put_replicated_global(state, self.mesh_plan), None
 
     def eval_plan(self, split):
         """Static full-coverage batch schedule for a split: always built from
@@ -282,7 +311,7 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
         state = ckpt.load_params_into(state, pretrain_latest, load_class_layer=False)
     tx, lr_fn = tx_builder(state.params)
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
-    state = dist.put_replicated_global(state, run.mesh_plan)
+    state, state_sh = run.state_plan(state)
     logging.info(f"= Model params: {param_count(state.params):,}")
 
     n_items = (
@@ -316,10 +345,13 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
             mesh_plan=run.mesh_plan,
             epochs_per_call=k,
             data_layout=run.data_layout,
+            state_shardings=state_sh,
         )
 
     fwd_class = dist.sync_first_call(
-        ev.make_batched_forward(run.model, run.augmenter, "class", run.mesh_plan), "fwd_class"
+        ev.make_batched_forward(run.model, run.augmenter, "class", run.mesh_plan,
+                                state_shardings=state_sh),
+        "fwd_class",
     )
 
     best_path, latest_path = checkpoint_paths(args)
@@ -414,7 +446,7 @@ def pretrain(args):
         args, state.params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
     )
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
-    state = dist.put_replicated_global(state, run.mesh_plan)
+    state, state_sh = run.state_plan(state)
     logging.info(f"= Model params: {param_count(state.params):,}")
 
     focal_loss = make_focal_loss(args)
@@ -453,13 +485,17 @@ def pretrain(args):
             fused_views=not getattr(args, "no_fused_views", False),
             epochs_per_call=k,
             data_layout=run.data_layout,
+            state_shardings=state_sh,
         )
     loss_fn = dist.sync_first_call(
-        ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan),
+        ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan,
+                                      state_shardings=state_sh),
         "pretrain_loss",
     )
     fwd_feat = dist.sync_first_call(
-        ev.make_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan), "fwd_feat"
+        ev.make_batched_forward(run.model, run.augmenter, "feat", run.mesh_plan,
+                                state_shardings=state_sh),
+        "fwd_feat",
     )
     # KNN features come from the train split, whose layout varies: row-sharded
     # (shard-local gathers) or streaming (host-fed blocks)

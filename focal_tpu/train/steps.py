@@ -51,8 +51,11 @@ def make_view_fuser(mesh_plan, batch_samples, seq_len=1):
 
     Falls back to plain concatenate off-mesh or when the gate fails.
     """
-    n = mesh_plan.num_devices if mesh_plan is not None else 1
-    if mesh_plan is None or n <= 1 or batch_samples % (n * seq_len) != 0:
+    n = mesh_plan.dp if mesh_plan is not None else 1
+    # TP meshes use the plain concatenate: GSPMD places it, and the
+    # shard-local fuser's out_specs would have to prove model-axis
+    # replication through the pallas-free path anyway
+    if mesh_plan is None or mesh_plan.mp > 1 or n <= 1 or batch_samples % (n * seq_len) != 0:
         def fuse(v1, v2):
             return jax.tree_util.tree_map(
                 lambda a, c: jnp.concatenate([a, c], axis=0), v1, v2
@@ -135,7 +138,7 @@ def _apply_train(model, state, freq_x, dropout_rng, head):
     return out, mutated["batch_stats"]
 
 
-def make_supervised_train_step(model, augmenter, mesh_plan=None):
+def make_supervised_train_step(model, augmenter, mesh_plan=None, state_shardings=None):
     """(state, data, labels, idx, rng) -> (state, metrics). Used by both
     supervised training and finetuning (finetune differs only in augmentation:
     'no' instead of 'fixed'; reference: finetune.py:54-67)."""
@@ -161,10 +164,11 @@ def make_supervised_train_step(model, augmenter, mesh_plan=None):
         acc = jnp.mean((logits.argmax(-1) == hard).astype(jnp.float32))
         return state, {"loss": loss, "acc": acc}
 
-    return _maybe_shard(step, mesh_plan)
+    return _maybe_shard(step, mesh_plan, state_shardings=state_shardings)
 
 
-def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None, fused_views=True):
+def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None, fused_views=True,
+                       state_shardings=None):
     """FOCAL pretraining: two random views -> projector features -> loss
     (reference: loss_calc_utils.py:1-22 + pretrain.py:62-74).
 
@@ -211,7 +215,7 @@ def make_pretrain_step(model, augmenter, focal_loss, mesh_plan=None, fused_views
         state = state.replace(batch_stats=new_stats)
         return state, {"loss": loss, **parts}
 
-    return _maybe_shard(step, mesh_plan, has_labels=False)
+    return _maybe_shard(step, mesh_plan, has_labels=False, state_shardings=state_shardings)
 
 
 def _shard_batch(batch, mesh_plan):
@@ -224,7 +228,8 @@ def _shard_batch(batch, mesh_plan):
 
 def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
                            subseq_idx=None, mesh_plan=None, fused_views=True,
-                           epochs_per_call=1, data_layout="replicated"):
+                           epochs_per_call=1, data_layout="replicated",
+                           state_shardings=None):
     """One jitted call per `epochs_per_call` EPOCHS: on-device shuffles + a
     nested lax.scan over (epochs, steps).
 
@@ -254,7 +259,9 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
     if sharded:
         if mesh_plan is None:
             raise ValueError("data_layout='sharded' requires a mesh plan")
-        n_dev = mesh_plan.num_devices
+        if mesh_plan.mp > 1:
+            raise ValueError("data_layout='sharded' is DP-only; use replicated data with TP")
+        n_dev = mesh_plan.dp
         if n_items % n_dev or per % n_dev:
             raise ValueError(
                 f"sharded layout needs n_items ({n_items}) and batch units "
@@ -275,7 +282,7 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
         if sharded:
             seeds = jax.random.randint(
-                perm_rng, (mesh_plan.num_devices,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                perm_rng, (mesh_plan.dp,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
             perm = local_perm(seeds)
         else:
@@ -337,8 +344,10 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         jitted = jax.jit(epoch_fn, donate_argnums=(0,))
     else:
         r = mesh_plan.replicated
+        s = state_shardings if state_shardings is not None else r
         d = mesh_plan.batch_sharded if sharded else r
-        jitted = jax.jit(epoch_fn, in_shardings=(r, d, r, r), donate_argnums=(0,))
+        jitted = jax.jit(epoch_fn, in_shardings=(s, d, r, r), out_shardings=(s, r),
+                         donate_argnums=(0,))
 
     # the subsequence table and rng go to the device ONCE; every epoch-call
     # argument after that is already device-resident
@@ -367,7 +376,8 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
 
 
 def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=True, mesh_plan=None,
-                             epochs_per_call=1, data_layout="replicated"):
+                             epochs_per_call=1, data_layout="replicated",
+                             state_shardings=None):
     """Epoch-scan for supervised/finetune training (fixed_aug=False -> no-aug
     pipeline, i.e. finetune). Returns run(state, data, labels, rng); with
     epochs_per_call > 1 each call advances that many epochs (nested scan).
@@ -377,7 +387,9 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
     if sharded:
         if mesh_plan is None:
             raise ValueError("data_layout='sharded' requires a mesh plan")
-        n_dev = mesh_plan.num_devices
+        if mesh_plan.mp > 1:
+            raise ValueError("data_layout='sharded' is DP-only; use replicated data with TP")
+        n_dev = mesh_plan.dp
         if n_items % n_dev or per % n_dev:
             raise ValueError(
                 f"sharded layout needs n_items ({n_items}) and batch size "
@@ -395,7 +407,7 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
         perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
         if sharded:
             seeds = jax.random.randint(
-                perm_rng, (mesh_plan.num_devices,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                perm_rng, (mesh_plan.dp,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
             perm = local_perm(seeds)
         else:
@@ -444,8 +456,10 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
         jitted = jax.jit(epoch_fn, donate_argnums=(0,))
     else:
         r = mesh_plan.replicated
+        s = state_shardings if state_shardings is not None else r
         d = mesh_plan.batch_sharded if sharded else r
-        jitted = jax.jit(epoch_fn, in_shardings=(r, d, d, r), donate_argnums=(0,))
+        jitted = jax.jit(epoch_fn, in_shardings=(s, d, d, r), out_shardings=(s, r, r),
+                         donate_argnums=(0,))
 
     from focal_tpu.parallel.distributed import put_replicated_global
 
@@ -464,14 +478,19 @@ def make_classifier_epoch_fn(model, augmenter, n_items, batch_size, fixed_aug=Tr
     return run
 
 
-def _maybe_shard(step, mesh_plan, has_labels=True):
+def _maybe_shard(step, mesh_plan, has_labels=True, state_shardings=None):
     """jit the step; with a mesh plan, shard batch indices over the data axis
-    and keep state replicated. donate the state for in-place updates."""
+    and keep state replicated — or TP-sharded when a state sharding tree is
+    given (parallel/tp.py). donate the state for in-place updates."""
     if mesh_plan is None:
         return jax.jit(step, donate_argnums=(0,))
     r, b = mesh_plan.replicated, mesh_plan.batch_sharded
+    s = state_shardings if state_shardings is not None else r
     if has_labels:
-        in_shardings = (r, r, r, b, r)
+        in_shardings = (s, r, r, b, r)
     else:
-        in_shardings = (r, r, b, r)
-    return jax.jit(step, in_shardings=in_shardings, donate_argnums=(0,))
+        in_shardings = (s, r, b, r)
+    # pin the output state to the input layout: stable across steps and
+    # required for in-place donation of TP-sharded buffers
+    return jax.jit(step, in_shardings=in_shardings, out_shardings=(s, r),
+                   donate_argnums=(0,))
