@@ -60,7 +60,8 @@ def _load_sample_file(path, task):
         loc: {mod: np.asarray(t, dtype=np.float32) for mod, t in mods.items()}
         for loc, mods in sample["data"].items()
     }
-    return data, _label_for_task(sample["label"], task)
+    label = sample.get("label")  # serving inputs may be unlabeled
+    return data, None if label is None else _label_for_task(label, task)
 
 
 def _bulk_load_native(sample_files, task):
@@ -153,6 +154,8 @@ class ArrayDataset:
         datas, labels = [], []
         for f in sample_files:
             d, l = _load_sample_file(f, task)
+            if l is None:
+                raise ValueError(f"Sample without a label in training index: {f}")
             datas.append(d)
             labels.append(l)
         locs = list(datas[0].keys())

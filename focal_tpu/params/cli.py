@@ -88,6 +88,19 @@ def build_parser():
     )
     parser.add_argument("-seed", type=int, default=0, help="PRNG seed.")
     parser.add_argument(
+        "-input",
+        type=str,
+        default=None,
+        help="predict.py: index file (.txt of sample paths) or directory of "
+        ".npz/.pt sample files to run inference on (labels optional).",
+    )
+    parser.add_argument(
+        "-predictions_out",
+        type=str,
+        default=None,
+        help="predict.py: write per-sample predictions + latency JSON here.",
+    )
+    parser.add_argument(
         "-clip_grad",
         action="store_true",
         help="Apply the recipe's clip_grad value. Off by default: the reference "

@@ -118,3 +118,26 @@ def test_test_cli_roundtrip(workdir, make_args, monkeypatch):
     loss, acc, f1 = test_cli.test(args)
     assert np.isfinite(loss)
     assert acc > 0.6
+
+
+def test_predict_cli_roundtrip(workdir, make_args):
+    """predict.py surface: serve the supervised best checkpoint on synthetic
+    inputs (labels known -> accuracy must track the test.py number)."""
+    import os
+
+    import predict as predict_cli
+    from focal_tpu.data.synthetic import synthetic_arrays
+
+    args = make_args(
+        argv=_argv(["-model", "DeepSense", "-learn_framework", "no"]),
+        option="test",
+        output_dir=workdir,
+    )
+    args.predictions_out = os.path.join(workdir, "preds.json")
+    result = predict_cli.predict(args)
+
+    _, labels, _ = synthetic_arrays(args.dataset_config, args.task, args.synthetic_samples,
+                                    seed=args.seed + 3)
+    acc = float((result["preds"] == labels).mean())
+    assert acc > 0.6
+    assert os.path.exists(args.predictions_out)
