@@ -138,10 +138,18 @@ class StreamingEpochFn:
             if i + 1 < len(sizes):  # overlaps the running block's compute
                 nxt = self._feeder.block(self._rows(perm, step0, sizes[i + 1]))
         self._epoch += 1
+        # each block fn returns a mean over its k steps; weight block means by
+        # k so the epoch value equals the uniform per-step mean the
+        # device-resident epoch fn reports (the ragged tail block would
+        # otherwise be overweighted ~block_steps/rem times)
+        w = jnp.asarray(sizes, dtype=jnp.float32) / float(sum(sizes))
         if isinstance(losses[0], tuple):  # (loss, acc) classifier variant
-            means = tuple(jnp.mean(jnp.stack([l[j] for l in losses])) for j in range(len(losses[0])))
+            means = tuple(
+                jnp.sum(w * jnp.stack([l[j] for l in losses]))
+                for j in range(len(losses[0]))
+            )
             return (state, *means)
-        return state, jnp.mean(jnp.stack(losses))
+        return state, jnp.sum(w * jnp.stack(losses))
 
 
 def make_streaming_pretrain_fn(model, augmenter, focal_loss, *, host_data, n_units,

@@ -321,12 +321,22 @@ class Mlp(nn.Module):
             rows = int(np.prod(lead))
             mesh = self.pallas_mesh
             n_shards = mesh.size if mesh is not None else 1
+            from focal_tpu.ops.pallas_kernels import _on_tpu
+
             # mlp_fits: wide layers overflow Mosaic's scoped-VMEM stack (the
-            # kernel holds w1/w2 + grad accumulators whole) -> plain math
-            if rows % max(n_shards, 1) == 0 and mlp_fits(C, self.hidden):
+            # kernel holds w1/w2 + grad accumulators whole) -> plain math.
+            # Dropout needs the hardware PRNG: off-TPU (interpret mode) the
+            # dropout variants cannot run, so fall through to plain math —
+            # same gate WindowAttention applies above.
+            dropout_active = train and self.drop > 0.0
+            if (
+                rows % max(n_shards, 1) == 0
+                and mlp_fits(C, self.hidden)
+                and (not dropout_active or _on_tpu())
+            ):
                 x2 = x.reshape(rows, C).astype(self.dtype)
                 seed = None
-                if train and self.drop > 0.0:
+                if dropout_active:
                     seed = jax.random.randint(
                         self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
                         dtype=jnp.int32,

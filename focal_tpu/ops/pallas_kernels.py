@@ -1165,8 +1165,10 @@ fused_window_block.defvjp(_wblock_fwd_rule, _wblock_bwd_rule)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def fused_window_block_dropout(x, wqkv, bqkv, wproj, bproj, bias_l, seed, rate):
     """fused_window_block with in-kernel attention dropout (TPU-only: the
-    hardware PRNG has no interpreter support). The backward regenerates the
-    mask from the same (seed, tile, head)."""
+    hardware PRNG has no interpreter support). The forward STORES the
+    keep-mask as a VJP residual and the backward consumes it — do NOT switch
+    back to reseed-regeneration to save HBM: it proved unreliable in this
+    larger kernel (see _wblock_fwd_kernel) and silently corrupts gradients."""
     return _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=seed, rate=rate)
 
 

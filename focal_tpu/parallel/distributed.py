@@ -56,8 +56,18 @@ def maybe_initialize(args=None):
 
     kwargs = {"coordinator_address": coord}
     if nproc and nproc > 0:
+        if pid is None:
+            if nproc > 1:
+                # defaulting to 0 would make every worker claim process 0 and
+                # hang the coordinator rendezvous — fail fast instead
+                raise ValueError(
+                    "dist_num_processes > 1 requires -dist_process_id (or "
+                    "FOCAL_DIST_PROCESS_ID) — it cannot be defaulted: every "
+                    "process would claim id 0 and the rendezvous would hang"
+                )
+            pid = 0
         kwargs["num_processes"] = nproc
-        kwargs["process_id"] = pid if pid is not None else 0
+        kwargs["process_id"] = pid
     jax.distributed.initialize(**kwargs)
     logging.info(
         f"= jax.distributed: process {jax.process_index()}/{jax.process_count()}, "

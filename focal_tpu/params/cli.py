@@ -173,7 +173,7 @@ def build_parser():
         "-hbm_budget_gb",
         type=float,
         default=0,
-        help="Per-device HBM budget for the train split (GB). Splits over "
+        help="Per-device HBM budget for the train split (GiB). Splits over "
         "budget stream host->device in double-buffered blocks. 0 = auto "
         "(60%% of reported device memory, else 8 GB).",
     )

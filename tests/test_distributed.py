@@ -168,3 +168,20 @@ def _check_cli_outputs(logs, d):
     assert folders == ["exp0_contrastive_FOCAL"], folders
     ckpts = os.listdir(os.path.join(exp, folders[0]))
     assert any(c.endswith("_latest") for c in ckpts), ckpts
+
+
+def test_missing_process_id_fails_fast(monkeypatch):
+    """Regression (round-3 review): -dist_num_processes > 1 without
+    -dist_process_id must raise immediately — defaulting to 0 would make
+    every worker claim process 0 and hang the coordinator rendezvous."""
+    from focal_tpu.parallel import distributed
+
+    monkeypatch.delenv("FOCAL_DIST_PROCESS_ID", raising=False)
+
+    class A:
+        dist_coordinator = "127.0.0.1:9"
+        dist_num_processes = 2
+        dist_process_id = None
+
+    with pytest.raises(ValueError, match="dist_process_id"):
+        distributed.maybe_initialize(A())

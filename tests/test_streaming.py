@@ -90,3 +90,34 @@ def test_streaming_matches_device_resident_loss_scale(workdir, make_args):
     )
     _, acc_d = supervised_train(args_d)
     assert abs(acc_s - acc_d) < 0.35, (acc_s, acc_d)
+
+
+def test_epoch_loss_weights_ragged_tail_block():
+    """Regression (round-3 review): with steps_per_epoch not divisible by
+    block_steps, the epoch loss must be the uniform per-step mean (matching
+    the device-resident epoch fns), not an unweighted mean of block means
+    that overweights the ragged tail block."""
+    import jax.numpy as jnp
+
+    from focal_tpu.data.streaming import StreamingEpochFn
+
+    n_units = 7  # blocks of 4 + 3 at block_steps=4
+    host_data = np.arange(100, 100 + n_units, dtype=np.float32)
+
+    def make_block_fn(k):
+        def block(state, block_data, rng):
+            # per-step loss = the sample value; block fns return the k-mean
+            return state, jnp.mean(jnp.asarray(block_data))
+
+        return block
+
+    class _State:
+        step = 0
+
+    fn = StreamingEpochFn(
+        host_data=host_data, host_labels=None, n_units=n_units, per=1,
+        unit_rows=np.arange(n_units)[:, None], make_block_fn=make_block_fn,
+        seed=0, block_steps=4,
+    )
+    _, loss = fn(_State(), None, None)
+    np.testing.assert_allclose(float(loss), host_data.mean(), rtol=1e-6)

@@ -299,3 +299,24 @@ def test_pallas_dropout_training_falls_back_off_tpu():
     out_plain = plain.apply(v, x, None, train=True, rngs=rngs)
     out_fused = fused.apply(v, x, None, train=True, rngs=rngs)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain), atol=1e-6)
+
+
+def test_pallas_mlp_dropout_training_falls_back_off_tpu():
+    """Regression (round-3 review): use_pallas Mlp + train + drop > 0 off-TPU
+    must fall through to plain math (fused_mlp_dropout needs the hardware
+    PRNG, which has no interpreter support) — same gate WindowAttention has —
+    and must produce the exact plain-path output under the same rng."""
+    import jax.numpy as jnp
+
+    from focal_tpu.models.swin import Mlp
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(24, 32)).astype(np.float32))
+    kw = dict(hidden=64, out=32, drop=0.2)
+    plain = Mlp(use_pallas=False, **kw)
+    fused = Mlp(use_pallas=True, **kw)
+    v = plain.init({"params": jax.random.key(0)}, x, train=False)
+    rngs = {"dropout": jax.random.key(5)}
+    out_plain = plain.apply(v, x, train=True, rngs=rngs)
+    out_fused = fused.apply(v, x, train=True, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain), atol=1e-6)

@@ -5,10 +5,11 @@ from torch import nn
 
 
 def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
-    with torch.no_grad():
-        tensor.normal_(mean, std)
-        torch.clamp_(tensor, min=a * std + mean, max=b * std + mean)
-    return tensor
+    # timm's trunc_normal_ treats a/b as ABSOLUTE cutoffs and samples a true
+    # truncated normal via inverse-CDF — the exact algorithm torch later
+    # adopted as torch.nn.init.trunc_normal_, so delegate to it (a clamp
+    # would instead pile ~4.6% of mass onto the bounds).
+    return torch.nn.init.trunc_normal_(tensor, mean=mean, std=std, a=a, b=b)
 
 
 class DropPath(nn.Module):

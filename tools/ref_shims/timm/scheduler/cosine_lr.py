@@ -41,5 +41,8 @@ class CosineLRScheduler:
             g["lr"] = lr
 
     def step(self, epoch):
-        # timm's .step(epoch) sets the value for epoch+1
-        self._apply(self._values(epoch + 1))
+        # timm's Scheduler.step(epoch) applies get_epoch_values(epoch) — i.e.
+        # lr(epoch). The reference loop calls step(epoch) at the END of epoch
+        # e, so epoch e+1 trains at lr(e): the one-epoch lag is real timm
+        # behavior and must be reproduced, not corrected.
+        self._apply(self._values(epoch))

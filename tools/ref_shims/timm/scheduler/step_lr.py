@@ -28,4 +28,5 @@ class StepLRScheduler:
             g["lr"] = lr
 
     def step(self, epoch):
-        self._apply(self._values(epoch + 1))
+        # real timm applies lr(epoch) here (see cosine_lr.py for the lag note)
+        self._apply(self._values(epoch))
