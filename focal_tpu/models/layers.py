@@ -373,7 +373,7 @@ class AttentionFusion(nn.Module):
     def __call__(self, x, train: bool):
         b, i, n, c = x.shape
         x = x.reshape(b * i, n, c)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         query = jnp.mean(x, axis=1, keepdims=True)
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,

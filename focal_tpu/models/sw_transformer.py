@@ -262,9 +262,9 @@ class TransformerEncoderLayer(nn.Module):
             deterministic=not train,
             dtype=self.dtype,
         )(x, x, x)
-        x = nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
         y = nn.Dense(self.ffn_dim, dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
-        return nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout, deterministic=not train)(y))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + nn.Dropout(self.dropout, deterministic=not train)(y))

@@ -398,7 +398,7 @@ class SwinBlock(nn.Module):
         mask = shifted_window_mask(H, W, wh, ww, sh, sw) if shifted else None
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(B, H, W, C)
         if shifted:
             x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
@@ -415,7 +415,7 @@ class SwinBlock(nn.Module):
         x = x.reshape(B, L, C)
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         # the fused pallas MLP is OPT-IN (-pallas_mlp): at reference dims it
         # measured 6% slower than XLA's lowering (2,838 vs 3,034 windows/s) —
         # C=64..256 MLPs are MXU-utilization-bound (K=64 contractions), not
@@ -446,7 +446,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1
         )
         x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -524,5 +524,5 @@ class PatchEmbed(nn.Module):
         B, Hp, Wp, C = x.shape
         x = x.reshape(B, Hp * Wp, C)
         if self.norm:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x
