@@ -101,6 +101,13 @@ def build_parser():
         help="predict.py: write per-sample predictions + latency JSON here.",
     )
     parser.add_argument(
+        "-torch_out",
+        type=str,
+        default=None,
+        help="tools/export_torch.py: output .pt path for the reference-"
+        "compatible torch state_dict export of -model_weight.",
+    )
+    parser.add_argument(
         "-clip_grad",
         action="store_true",
         help="Apply the recipe's clip_grad value. Off by default: the reference "
