@@ -205,12 +205,13 @@ def test_random_pipeline_covers_pool(pipelines):
 
 
 def test_remat_dropout_matches_standard_formulation():
-    """remat_dropout stores only the key: values AND gradients must equal the
-    standard where(bernoulli(key)) formulation exactly."""
+    """remat_dropout stores only the key: values AND gradients must equal a
+    plain where(mask) formulation with the same mask function exactly — the
+    backward's regenerated mask is the forward's."""
     import jax
     import jax.numpy as jnp
 
-    from focal_tpu.ops.dropout import remat_dropout
+    from focal_tpu.ops.dropout import _inv_keep, _keep, remat_dropout
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(16, 24, 32)).astype(np.float32))
@@ -218,8 +219,7 @@ def test_remat_dropout_matches_standard_formulation():
     rate = 0.3
 
     def plain(x):
-        keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-        return jnp.where(keep, x / (1.0 - rate), 0.0)
+        return jnp.where(_keep(key, rate, x.shape), x * _inv_keep(rate), 0.0)
 
     got = remat_dropout(x, key, rate)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(plain(x)))
@@ -227,3 +227,24 @@ def test_remat_dropout_matches_standard_formulation():
     g1 = jax.grad(lambda a: jnp.sum(jnp.sin(remat_dropout(a, key, rate))))(x)
     g2 = jax.grad(lambda a: jnp.sum(jnp.sin(plain(a))))(x)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_remat_dropout_rate_and_mean():
+    """The u8 threshold mask drops at round(rate*256)/256 (<=1/512 from the
+    nominal rate) and the survivor scaling uses the REALIZED keep, so the
+    expectation is exactly preserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from focal_tpu.ops.dropout import remat_dropout
+
+    x = jnp.ones((256, 1024), jnp.float32)
+    rate = 0.2
+    out = np.asarray(remat_dropout(x, jax.random.key(7), rate))
+    realized_drop = float((out == 0).mean())
+    assert abs(realized_drop - rate) < 0.01  # quantization (1/512) + sampling
+    # inverted-dropout: E[out] == x under the realized keep probability
+    assert abs(float(out.mean()) - 1.0) < 0.01
+    # survivors carry the exact realized-keep scale
+    survivors = out[out != 0]
+    np.testing.assert_allclose(survivors, 256.0 / (256 - round(rate * 256)), rtol=1e-6)
