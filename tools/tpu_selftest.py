@@ -11,7 +11,10 @@ host:
 TPU backend via an entry already on the path).
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
