@@ -86,6 +86,16 @@ def build_parser():
         "Megatron-sharded and GSPMD inserts the collectives (parallel/tp.py). "
         "Single-process only; routes attention through the XLA path.",
     )
+    parser.add_argument(
+        "-grad_accum",
+        type=int,
+        default=1,
+        help="Accumulate gradients over N consecutive micro-batches before "
+        "each optimizer update (optax.MultiSteps): effective batch = "
+        "N x batch_size at one micro-batch's activation memory. Exact for "
+        "LayerNorm models; BatchNorm batch statistics and contrastive "
+        "in-batch negatives remain per-micro-batch.",
+    )
     parser.add_argument("-seed", type=int, default=0, help="PRNG seed.")
     parser.add_argument(
         "-input",

@@ -96,15 +96,25 @@ def trainable_mask(params, args):
 
 
 def build_optimizer(args, params, steps_per_epoch, epochs_override=None):
-    """Create (optax tx, lr(epoch) fn). The tx maps global step -> epoch."""
+    """Create (optax tx, lr(epoch) fn). The tx maps global step -> epoch.
+
+    With ``args.grad_accum = k > 1`` the whole chain is wrapped in
+    ``optax.MultiSteps``: gradients of k consecutive micro-batches are
+    averaged on device and the parameters update once per k steps —
+    effective batch = k x batch_size at one micro-batch's activation
+    memory. The inner schedule count then advances once per EFFECTIVE
+    update, so the epoch mapping divides by steps_per_epoch / k.
+    """
+    grad_accum = max(1, int(getattr(args, "grad_accum", 1) or 1))
     optimizer_config, scheduler_config = _stage_configs(args)
     if epochs_override:
         scheduler_config = dict(scheduler_config)
         scheduler_config["train_epochs"] = epochs_override
     lr_epoch = make_epoch_schedule(scheduler_config, optimizer_config)
+    eff_steps_per_epoch = steps_per_epoch / grad_accum
 
     def lr_step(step):
-        return lr_epoch(jnp.floor(step / steps_per_epoch))
+        return lr_epoch(jnp.floor(step / eff_steps_per_epoch))
 
     wd = optimizer_config.get("weight_decay", 0.0)
     if isinstance(wd, dict) or hasattr(wd, "keys"):
@@ -135,6 +145,8 @@ def build_optimizer(args, params, steps_per_epoch, epochs_override=None):
             {"train": tx, "freeze": optax.set_to_zero()},
             param_labels=jax_tree_map_labels(mask),
         )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx, lr_epoch
 
 
