@@ -147,18 +147,19 @@ class WindowAttention(nn.Module):
             and (not dropout_active or _on_tpu())
         )
 
-        from focal_tpu.ops.pallas_kernels import wblock_fits
+        from focal_tpu.ops.pallas_kernels import wblock_fits_any
 
-        if use_fused and self.use_pallas_block and wblock_fits(N, C):
+        if use_fused and self.use_pallas_block and wblock_fits_any(N, C, self.num_heads):
             # whole-block kernel: qkv projection + attention + output
             # projection in one VMEM pass per tile. The separate Dense layers
             # would run on the window layout, and their BACKWARD materialises
             # the [B_, N, 3C] gradient plus its conversion back to image
             # layout — profiled at ~13 ms of an 84 ms SW step (BASELINE.md).
             # Params keep nn.Dense's exact names/shapes (checkpoint-stable).
-            # wblock_fits: wide stages (C>=512) exceed Mosaic's scoped-VMEM
-            # stack at the minimum tile and fall back to the attention-only
-            # kernel below (per-head D=C/H stays small).
+            # Wide stages where the monolithic working set exceeds Mosaic's
+            # scoped-VMEM stack (C>=512) dispatch to the per-head-gridded
+            # variant inside the impl; only geometries neither variant fits
+            # (wblock_fits_any False) fall back to the attention-only kernel.
             from focal_tpu.ops.pallas_kernels import (
                 expand_bias_lanes,
                 fused_window_block,
@@ -166,7 +167,10 @@ class WindowAttention(nn.Module):
                 sharded_window_block,
             )
 
-            wqkv, bqkv = _DenseParams(C, 3 * C, use_bias=self.qkv_bias, name="qkv")()
+            wqkv, bqkv = _DenseParams(
+                C, 3 * C, use_bias=self.qkv_bias, name="qkv",
+                features=(3, self.num_heads, head_dim),
+            )()
             wproj, bproj = _DenseParams(C, C, name="proj")()
             # fold the q scaling into the weights: q = (Wq*s)^T x + bq*s
             scale_vec = jnp.concatenate(
@@ -198,8 +202,18 @@ class WindowAttention(nn.Module):
                 )
             return _remat_drop(self, out.astype(self.dtype), self.proj_drop, train)
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        # head-aligned qkv layout [C, 3, H, hd]: ravels losslessly to the
+        # fused [C, 3C] (column order part|head|dim, the same the reference's
+        # qkv Linear uses), and the explicit head axis lets tensor parallelism
+        # shard attention by whole heads with zero resharding (parallel/tp.py)
+        qkv = nn.DenseGeneral(
+            features=(3, self.num_heads, head_dim),
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            name="qkv",
+            kernel_init=_flat_lecun_init,
+        )(x)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B_, H, N, hd]
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         if use_fused:
             from focal_tpu.ops.pallas_kernels import (
@@ -267,21 +281,42 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def _flat_lecun_init(key, shape, dtype=jnp.float32):
+    """lecun_normal drawn on the FLAT [in, out] dense shape then reshaped:
+    multi-dim feature kernels (e.g. the head-aligned qkv [C, 3, H, hd]) get
+    bit-identical values to the fused nn.Dense layout they ravel to."""
+    import numpy as _np
+
+    flat = (shape[0], int(_np.prod(shape[1:])))
+    return nn.initializers.lecun_normal()(key, flat, dtype).reshape(shape)
+
+
 class _DenseParams(nn.Module):
     """Kernel/bias with nn.Dense's names, inits and tree position, for paths
     that consume the weights directly (the fused pallas MLP and the
     whole-block attention kernel). use_bias=False declares no bias param
-    (matching nn.Dense) and returns zeros."""
+    (matching nn.Dense) and returns zeros. `features` declares a multi-dim
+    feature shape (DenseGeneral-style, must ravel to out_dim) — stored
+    multi-dim for sharding rules, returned flattened to [in, out]."""
 
     in_dim: int
     out_dim: int
     use_bias: bool = True
+    features: Any = None
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim))
+        if self.features is not None:
+            kshape = (self.in_dim,) + tuple(self.features)
+            bshape = tuple(self.features)
+            init = _flat_lecun_init
+        else:
+            kshape = (self.in_dim, self.out_dim)
+            bshape = (self.out_dim,)
+            init = nn.initializers.lecun_normal()
+        k = self.param("kernel", init, kshape).reshape(self.in_dim, self.out_dim)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
+            b = self.param("bias", nn.initializers.zeros_init(), bshape).reshape(self.out_dim)
         else:
             b = jnp.zeros((self.out_dim,), jnp.float32)
         return k, b

@@ -841,13 +841,48 @@ _SCOPED_VMEM_LIMIT = 16 * 1024 * 1024
 
 
 def wblock_fits(N, C):
-    """Static feasibility of the whole-block kernel at (window N, channels C):
-    True iff the backward's working set at the minimum tile fits Mosaic's
-    16 MB scoped-VMEM stack (with headroom for compiler temporaries). Callers
-    fall back to the attention-only kernel (per-head D=C/H stays small) when
-    this is False — e.g. MOD_WIDE's C=512/1024 stages."""
+    """Static feasibility of the MONOLITHIC whole-block kernel at (window N,
+    channels C): True iff the backward's working set at the minimum tile fits
+    Mosaic's 16 MB scoped-VMEM stack (with headroom for compiler
+    temporaries). When False the impl dispatches to the per-head-gridded
+    variant below (grid (batch-tile, head)); only if THAT doesn't fit either
+    (wblock_fits_any False) do callers fall back to the attention-only
+    kernel."""
     working_set = (11 * N * C + 6 * N * N) * LANE * 4
     return working_set <= int(_SCOPED_VMEM_LIMIT * 0.9)
+
+
+def _perhead_lane_bytes(N, C, hd, cb):
+    """Backward working set per lane of the per-head kernel: x+dy (compute
+    dtype) and the f32 dx accumulator are [N, C, ·]; q/k/v/g + dq/dk/dv are
+    per-head [N, hd, ·]; ~8 [N, N, ·] attention temporaries."""
+    return N * C * (2 * cb + 4) + 7 * N * hd * 4 + 8 * N * N * 4
+
+
+def _block_tile_perhead(N, C, hd, B, cb):
+    """Lane tile shared by the per-head forward AND backward (the stored
+    dropout mask requires identical tiling)."""
+    tile = MAX_TILE
+    while tile > LANE and _perhead_lane_bytes(N, C, hd, cb) * tile > _VMEM_BUDGET:
+        tile //= 2
+    if B < tile:
+        tile = max(LANE, ((B + LANE - 1) // LANE) * LANE)
+    return tile
+
+
+def wblock_perhead_fits(N, C, H):
+    """Static feasibility of the per-head whole-block variant: the working
+    set scales with C (x/dy/dx tiles) + hd (per-head q/k/v), so it fits wide
+    stages the monolithic kernel can't (MOD_WIDE C=512: 7.1 MB at tile 128
+    vs the monolithic's 26 MB; C=1024/hd=64: 11.8 MB)."""
+    hd = C // max(H, 1)
+    cb = 2 if C >= 128 else 4  # _wblock_compute_dtype switches to bf16 at C>=128
+    return _perhead_lane_bytes(N, C, hd, cb) * LANE <= int(_SCOPED_VMEM_LIMIT * 0.9)
+
+
+def wblock_fits_any(N, C, H):
+    """True iff SOME whole-block variant (monolithic or per-head) fits."""
+    return wblock_fits(N, C) or wblock_perhead_fits(N, C, H)
 
 
 def _wblock_fwd_math(x, wqkv, bqkv, wproj, bproj, bias_full, H, seed_ref, rate,
@@ -1052,10 +1087,265 @@ def _mask_spec(H, N, tile):
     return pl.BlockSpec((H, N, N, tile), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM)
 
 
+# ---------------------------------------------------------------------------
+# per-head whole-block variant: grid (batch-tile, head). Each invocation
+# projects q/k/v for ONE head ([N, hd, TB] instead of [N, 3C, TB]), so the
+# VMEM working set scales with C + hd rather than 3C — this is what lets the
+# whole-block fusion cover the wide stages (MOD_WIDE C=512/1024) that the
+# monolithic kernel's 26 MB working set cannot. The head axis is the INNER
+# grid dim, so the x / dy / dx / y blocks (index constant in h) stay resident
+# in VMEM across the head sweep; y and dx accumulate across heads in f32
+# revisited blocks, while weight/bias gradients accumulate across batch
+# tiles exactly like the monolithic kernel.
+# ---------------------------------------------------------------------------
+
+
+def _wblock_ph_fwd_kernel(rate, *refs):
+    if rate > 0.0:
+        (seed_ref, x_ref, w3_ref, bq3_ref, wp_ref, bp_ref, bias_ref,
+         y_ref, mask_ref) = refs
+    else:
+        seed_ref = mask_ref = None
+        x_ref, w3_ref, bq3_ref, wp_ref, bp_ref, bias_ref, y_ref = refs
+    x = x_ref[...]
+    N = x.shape[0]
+    w3 = w3_ref[0]            # [3, C, hd] compute dtype (head-leading layout)
+    bq3 = bq3_ref[0].astype(jnp.float32)  # [3, 1, hd]
+    wp = wp_ref[...]          # [hd, C]
+    bias = _expand_bias(bias_ref[0], x.shape[-1])  # [N, N, TB]
+    parts = []
+    for part in range(3):
+        bqp = bq3[part].reshape(-1, 1)
+        parts.append(jnp.stack(
+            [jnp.dot(w3[part].T, x[n], preferred_element_type=jnp.float32) + bqp
+             for n in range(N)]
+        ))  # [N, hd, TB]
+    q, k, v = parts
+    attn = _scores_softmax(q, k, bias)
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 65537 + pl.program_id(1) * 7919)
+        bits = pltpu.prng_random_bits(attn.shape)
+        keep = pltpu.bitcast(bits, jnp.uint32) >= jnp.uint32(rate * 4294967296.0)
+        mask_ref[0] = keep.astype(mask_ref.dtype)
+        attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+    ao = _weighted_sum(attn, v)  # [N, hd, TB]
+    y_h = jnp.stack(
+        [jnp.dot(wp.T, ao[n].astype(x.dtype), preferred_element_type=jnp.float32)
+         for n in range(N)]
+    )  # [N, C, TB] f32
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        y_ref[...] = y_h + bp_ref[...].astype(jnp.float32).reshape(-1, 1)
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        y_ref[...] = y_ref[...] + y_h
+
+
+def _wblock_ph_bwd_kernel(rate, *refs):
+    if rate > 0.0:
+        (x_ref, w3_ref, bq3_ref, wp_ref, bias_ref, dy_ref, mask_ref,
+         dx_ref, dw3_ref, dbq3_ref, dwp_ref, dbias_ref) = refs
+    else:
+        mask_ref = None
+        (x_ref, w3_ref, bq3_ref, wp_ref, bias_ref, dy_ref,
+         dx_ref, dw3_ref, dbq3_ref, dwp_ref, dbias_ref) = refs
+    x = x_ref[...]
+    dy = dy_ref[...]
+    N, C, TB = x.shape
+    w3 = w3_ref[0]
+    bq3 = bq3_ref[0].astype(jnp.float32)
+    wp = wp_ref[...]
+    bias = _expand_bias(bias_ref[0], TB)
+    parts = []
+    for part in range(3):
+        bqp = bq3[part].reshape(-1, 1)
+        parts.append(jnp.stack(
+            [jnp.dot(w3[part].T, x[n], preferred_element_type=jnp.float32) + bqp
+             for n in range(N)]
+        ))
+    q, k, v = parts
+    g_h = jnp.stack(
+        [jnp.dot(wp, dy[n], preferred_element_type=jnp.float32) for n in range(N)]
+    )  # [N, hd, TB]
+    if mask_ref is not None:
+        keep = mask_ref[0].astype(jnp.float32) > 0.5
+        dq, dk, dv, ds = _bwd_math(q, k, v, g_h, bias, keep, 1.0 / (1.0 - rate))
+        attn = _scores_softmax(q, k, bias)
+        a_used = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        dq, dk, dv, ds = _bwd_math(q, k, v, g_h, bias, None, None)
+        a_used = _scores_softmax(q, k, bias)
+    ao = _weighted_sum(a_used, v)
+    dwp = sum(
+        jnp.dot(ao[n].astype(dy.dtype), dy[n].T, preferred_element_type=jnp.float32)
+        for n in range(N)
+    )  # [hd, C]
+    dx = jnp.zeros((N, C, TB), jnp.float32)
+    dw3_parts, dbq3_parts = [], []
+    for part, dpart in ((0, dq), (1, dk), (2, dv)):
+        dpb = [dpart[n].astype(x.dtype) for n in range(N)]
+        dx = dx + jnp.stack(
+            [jnp.dot(w3[part], dpb[n], preferred_element_type=jnp.float32) for n in range(N)]
+        )
+        dw3_parts.append(
+            sum(jnp.dot(x[n], dpb[n].T, preferred_element_type=jnp.float32) for n in range(N))
+        )
+        dbq3_parts.append(dpart.sum(axis=(0, 2)).reshape(1, -1))
+    dw3 = jnp.stack(dw3_parts)    # [3, C, hd]
+    dbq3 = jnp.stack(dbq3_parts)  # [3, 1, hd]
+    db = ds[:, :, 0:LANE]
+    for r in range(1, TB // LANE):
+        db = db + ds[:, :, r * LANE : (r + 1) * LANE]
+
+    @pl.when(pl.program_id(1) == 0)  # dx accumulates across heads (inner dim)
+    def _dx_init():
+        dx_ref[...] = dx
+
+    @pl.when(pl.program_id(1) != 0)
+    def _dx_acc():
+        dx_ref[...] = dx_ref[...] + dx
+
+    @pl.when(pl.program_id(0) == 0)  # weight grads accumulate across tiles
+    def _w_init():
+        dw3_ref[0] = dw3
+        dbq3_ref[0] = dbq3
+        dwp_ref[...] = dwp
+        dbias_ref[0] = db
+
+    @pl.when(pl.program_id(0) != 0)
+    def _w_acc():
+        dw3_ref[0] = dw3_ref[0] + dw3
+        dbq3_ref[0] = dbq3_ref[0] + dbq3
+        dwp_ref[...] = dwp_ref[...] + dwp
+        dbias_ref[0] = dbias_ref[0] + db
+
+
+def _ph_specs(N, C, hd, tile):
+    # the head axis is LEADING on the weight/bias layouts: Mosaic requires
+    # last-dim blocks to be 128-divisible or the full axis, so a per-head
+    # slice of the fused [C, 3C] columns (hd = 64 typical) is not a legal
+    # block — [H, 3, C, hd] makes the head slice a leading-dim index and the
+    # trailing (C, hd) dims full-axis blocks (caught by tpu_selftest on
+    # hardware; interpret mode does not enforce the constraint)
+    return {
+        "x": pl.BlockSpec((N, C, tile), lambda b, h: (0, 0, b), memory_space=pltpu.VMEM),
+        "w3": pl.BlockSpec((1, 3, C, hd), lambda b, h: (h, 0, 0, 0), memory_space=pltpu.VMEM),
+        "bq3": pl.BlockSpec((1, 3, 1, hd), lambda b, h: (h, 0, 0, 0), memory_space=pltpu.VMEM),
+        "wp": pl.BlockSpec((hd, C), lambda b, h: (h, 0), memory_space=pltpu.VMEM),
+        "bp": pl.BlockSpec((1, C), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+        "bias": pl.BlockSpec((1, N, N, LANE), lambda b, h: (h, 0, 0, 0), memory_space=pltpu.VMEM),
+        "mask": pl.BlockSpec((1, N, N, tile), lambda b, h: (h, 0, 0, b), memory_space=pltpu.VMEM),
+        "seed": pl.BlockSpec((1,), lambda b, h: (0,), memory_space=pltpu.SMEM),
+    }
+
+
+def _ph_weights(wqkv, bqkv, H):
+    """Fused [C, 3C] (column order part|head|dim) -> head-leading
+    [H, 3, C, hd] weights and [H, 3, 1, hd] biases."""
+    C = wqkv.shape[0]
+    hd = C // H
+    w3 = wqkv.reshape(C, 3, H, hd).transpose(2, 1, 0, 3)
+    bq3 = bqkv.reshape(3, H, hd).transpose(1, 0, 2)[:, :, None, :]
+    return w3, bq3
+
+
+def _wblock_ph_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0,
+                        want_mask=False):
+    B, N, C = x.shape
+    H = bias_l.shape[0]
+    hd = C // H
+    cdt = _wblock_compute_dtype(C, x.dtype)
+    tile = _block_tile_perhead(N, C, hd, B, 2 if cdt == jnp.bfloat16 else 4)
+    out_dtype = x.dtype
+    x, wqkv, wproj = x.astype(cdt), wqkv.astype(cdt), wproj.astype(cdt)
+    w3, bq3 = _ph_weights(wqkv, bqkv, H)
+    xt = _to_ncb(x, tile)
+    Bp = xt.shape[-1]
+    grid = (Bp // tile, H)
+    sp = _ph_specs(N, C, hd, tile)
+    in_specs = [sp["x"], sp["w3"], sp["bq3"], sp["wp"], sp["bp"], sp["bias"]]
+    operands = [xt, w3, bq3, wproj, bproj.reshape(1, -1), bias_l]
+    out_shape = jax.ShapeDtypeStruct((N, C, Bp), jnp.float32)
+    out_specs = sp["x"]
+    if seed is not None:
+        in_specs = [sp["seed"]] + in_specs
+        operands = [seed] + operands
+        out_shape = (out_shape, jax.ShapeDtypeStruct((H, N, N, Bp), jnp.bfloat16))
+        out_specs = (out_specs, sp["mask"])
+    outs = pl.pallas_call(
+        functools.partial(_wblock_ph_fwd_kernel, float(rate) if seed is not None else 0.0),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=not _on_tpu(),
+    )(*operands)
+    if seed is not None:
+        y_t, mask = outs
+        y = y_t.transpose(2, 0, 1)[:B].astype(out_dtype)
+        return (y, mask) if want_mask else y
+    return outs.transpose(2, 0, 1)[:B].astype(out_dtype)
+
+
+def _wblock_ph_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate=0.0):
+    B, N, C = x.shape
+    H = bias_l.shape[0]
+    hd = C // H
+    cdt = _wblock_compute_dtype(C, x.dtype)
+    tile = _block_tile_perhead(N, C, hd, B, 2 if cdt == jnp.bfloat16 else 4)
+    out_dtype = x.dtype
+    dbproj = dy.astype(jnp.float32).sum(axis=(0, 1))  # padded lanes excluded here
+    x, wqkv, wproj, dy = (a.astype(cdt) for a in (x, wqkv, wproj, dy))
+    w3, bq3 = _ph_weights(wqkv, bqkv, H)
+    xt = _to_ncb(x, tile)
+    dyt = _to_ncb(dy, tile)
+    Bp = xt.shape[-1]
+    grid = (Bp // tile, H)
+    sp = _ph_specs(N, C, hd, tile)
+    in_specs = [sp["x"], sp["w3"], sp["bq3"], sp["wp"], sp["bias"], sp["x"]]
+    operands = [xt, w3, bq3, wproj, bias_l, dyt]
+    if mask is not None:
+        in_specs = in_specs + [sp["mask"]]
+        operands = operands + [mask]
+    out_shape = (
+        jax.ShapeDtypeStruct((N, C, Bp), jnp.float32),       # dx
+        jax.ShapeDtypeStruct((H, 3, C, hd), jnp.float32),    # dw3 (head-leading)
+        jax.ShapeDtypeStruct((H, 3, 1, hd), jnp.float32),    # dbq3
+        jax.ShapeDtypeStruct((C, C), jnp.float32),           # dwproj
+        jax.ShapeDtypeStruct(bias_l.shape, jnp.float32),     # dbias
+    )
+    out_specs = (
+        sp["x"],
+        pl.BlockSpec((1, 3, C, hd), lambda b, h: (h, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, 1, hd), lambda b, h: (h, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hd, C), lambda b, h: (h, 0), memory_space=pltpu.VMEM),
+        sp["bias"],
+    )
+    dx_t, dw3, dbq3, dwproj, dbias = pl.pallas_call(
+        functools.partial(_wblock_ph_bwd_kernel, float(rate) if mask is not None else 0.0),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=not _on_tpu(),
+    )(*operands)
+    dx = dx_t.transpose(2, 0, 1)[:B].astype(out_dtype)
+    # [H, 3, C, hd] -> fused [C, 3C] (column order part|head|dim)
+    dwqkv = dw3.transpose(2, 1, 0, 3).reshape(C, 3 * C)
+    dbqkv = dbq3.transpose(1, 0, 2, 3).reshape(-1)  # [3C], q | k | v order
+    return dx, dwqkv, dbqkv, dwproj, dbproj, dbias
+
+
 def _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0,
                      want_mask=False):
     B, N, C = x.shape
     H = bias_l.shape[0]
+    if not wblock_fits(N, C):
+        # wide stages: per-head grid keeps the working set ~C + C/H per lane
+        return _wblock_ph_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l,
+                                   seed=seed, rate=rate, want_mask=want_mask)
     tile = _block_tile(N, C, B)
     cdt = _wblock_compute_dtype(C, x.dtype)
     out_dtype = x.dtype
@@ -1095,6 +1385,9 @@ def _wblock_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0,
 def _wblock_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate=0.0):
     B, N, C = x.shape
     H = bias_l.shape[0]
+    if not wblock_fits(N, C):
+        return _wblock_ph_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy,
+                                   mask=mask, rate=rate)
     tile = _block_tile(N, C, B)
     cdt = _wblock_compute_dtype(C, x.dtype)
     out_dtype = x.dtype

@@ -28,11 +28,17 @@ SW_Transformer (src/models/SW_Transformer.py:17-304 analogue):
   parameter at wide dims),
 - projector MLP as above.
 
-Attention qkv/proj stay replicated in v1: the fused [C, 3C] qkv layout
-packs (q|k|v) blocks whose slice boundaries do not align with contiguous
-column shards, so sharding them only buys resharding traffic. The pallas
-kernels are DP-only (shard_map over ``data``); the registry routes
-attention through the XLA path when model_parallel > 1.
+Attention shards by WHOLE HEADS (round 4): the qkv projection stores its
+kernel head-aligned as [C, 3, H, hd] (a lossless ravel of the fused
+[C, 3C]; models/swin.py WindowAttention), so sharding axis 2 places whole
+heads per device and the per-head attention math needs no resharding; the
+output proj is row-parallel ([C, C] rows are head-major) and the relative-
+position-bias table shards on its head axis. Fusion-block MHA
+(nn.MultiHeadDotProductAttention) kernels are already head-shaped
+[C, H, hd] / [H, hd, C] and shard the same way. Requires H % mp == 0,
+else those leaves replicate. The pallas kernels are DP-only (shard_map
+over ``data``); the registry routes attention through the XLA path when
+model_parallel > 1.
 """
 
 import re
@@ -70,6 +76,18 @@ _RULES = (
     (re.compile(r"/mlp/Dense_0/kernel$"), 2, -1),
     (re.compile(r"/mlp/Dense_0/bias$"), 1, -1),
     (re.compile(r"/mlp/Dense_1/kernel$"), 2, 0),
+    # Swin window attention: whole heads per shard. qkv kernel [C, 3, H, hd]
+    # shards the head axis; bias [3, H, hd] likewise; proj [C, C] rows are
+    # head-major -> row-parallel; the rel-pos-bias table [(2wh-1)(2ww-1), H]
+    # shards per head.
+    (re.compile(r"/attn/qkv/kernel$"), 4, 2),
+    (re.compile(r"/attn/qkv/bias$"), 3, 1),
+    (re.compile(r"/attn/proj/kernel$"), 2, 0),
+    (re.compile(r"/attn/relative_position_bias_table$"), 2, -1),
+    # fusion-block MHA (flax MultiHeadDotProductAttention): per-head kernels
+    (re.compile(r"/(query|key|value)/kernel$"), 3, 1),
+    (re.compile(r"/(query|key|value)/bias$"), 2, 0),
+    (re.compile(r"/out/kernel$"), 3, 0),
     # SW flatten projection (largest parameter at wide dims)
     (re.compile(r"mod_in_layer_[^/]+/kernel$"), 2, -1),
     (re.compile(r"mod_in_layer_[^/]+/bias$"), 1, -1),

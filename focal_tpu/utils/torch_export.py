@@ -87,9 +87,12 @@ def _gru(out, pt, src):
 
 
 def _linear(out, pt, src):
-    out[pt + "weight"] = _f32(src["kernel"]).T
+    # multi-dim feature kernels (head-aligned qkv [C, 3, H, hd]) flatten back
+    # to torch Linear's [out, in]
+    k = _f32(src["kernel"])
+    out[pt + "weight"] = k.reshape(k.shape[0], -1).T
     if "bias" in src:
-        out[pt + "bias"] = _f32(src["bias"])
+        out[pt + "bias"] = _f32(src["bias"]).reshape(-1)
 
 
 def _class_layer(out, params):

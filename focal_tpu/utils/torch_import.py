@@ -127,9 +127,21 @@ def _gru(sd, pt, dst):
 
 
 def _linear(sd, pt, dst):
-    _set(dst, "kernel", _np(sd[pt + "weight"]).T)
+    # multi-dim feature kernels (head-aligned qkv [C, 3, H, hd]) ravel
+    # losslessly to/from torch's [out, in]: transpose then reshape
+    w = _np(sd[pt + "weight"]).T
+    _set(dst, "kernel", _sized_reshape(w, np.shape(dst["kernel"]), pt + "weight"))
     if pt + "bias" in sd:
-        _set(dst, "bias", _np(sd[pt + "bias"]))
+        _set(dst, "bias", _sized_reshape(_np(sd[pt + "bias"]), np.shape(dst["bias"]), pt + "bias"))
+
+
+def _sized_reshape(value, shape, key):
+    """Reshape with the import's own error type (not numpy's) on size mismatch."""
+    if value.size != int(np.prod(shape)):
+        raise ValueError(
+            f"Shape mismatch importing '{key}': checkpoint {value.shape}, model {tuple(shape)}"
+        )
+    return value.reshape(shape)
 
 
 def _plain(tree):

@@ -71,9 +71,37 @@ def test_rules_shard_and_fall_back():
         jax.sharding.PartitionSpec("model", None)
     assert tp.leaf_spec("params/stage0_x/block0/mlp/Dense_0/kernel", (16, 31), 2) == \
         jax.sharding.PartitionSpec()
-    # attention stays replicated by design
-    assert tp.leaf_spec("params/stage0_x/block0/attn/qkv/kernel", (16, 48), 2) == \
+    # attention shards by whole heads (round 4): qkv kernel is head-aligned
+    # [C, 3, H, hd], proj is row-parallel, rel-pos table shards per head
+    assert tp.leaf_spec("params/stage0_x/block0/attn/qkv/kernel", (16, 3, 4, 4), 2) == \
+        jax.sharding.PartitionSpec(None, None, "model", None)
+    assert tp.leaf_spec("params/stage0_x/block0/attn/qkv/bias", (3, 4, 4), 2) == \
+        jax.sharding.PartitionSpec(None, "model", None)
+    assert tp.leaf_spec("params/stage0_x/block0/attn/proj/kernel", (16, 16), 2) == \
+        jax.sharding.PartitionSpec("model", None)
+    assert tp.leaf_spec(
+        "params/stage0_x/block0/attn/relative_position_bias_table", (25, 4), 2
+    ) == jax.sharding.PartitionSpec(None, "model")
+    # odd head counts fall back to replication
+    assert tp.leaf_spec("params/stage0_x/block0/attn/qkv/kernel", (16, 3, 3, 4), 2) == \
         jax.sharding.PartitionSpec()
+
+
+def test_attention_leaves_shard(tmp_path):
+    """With the head-aligned layout, >0 ATTENTION leaves must actually carry
+    a model axis on a real SW_Transformer state (VERDICT round-3 item 4)."""
+    args, model, augmenter, data, state = _setup(tmp_path, "SW_Transformer")
+    plan = make_mesh_plan(4, 2)
+    sh = tp.state_shardings(state, plan)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    attn_sharded = [
+        tp._path_str(p) for p, s in flat
+        if "/attn/" in tp._path_str(p)
+        and any(ax == "model" for ax in s.spec)
+    ]
+    assert len(attn_sharded) > 0, "no attention leaves sharded"
+    # qkv kernels specifically
+    assert any(p.endswith("qkv/kernel") for p in attn_sharded)
 
 
 @pytest.mark.parametrize("model_name", ["DeepSense", "SW_Transformer"])

@@ -180,9 +180,11 @@ def main():
     # fwd/bwd mask agreement via finite differences
     from focal_tpu.models.swin import WindowAttention
 
-    for C in (64, 256):
+    # C=512/heads=8 exercises the PER-HEAD-gridded variant (the monolithic
+    # working set exceeds the scoped-VMEM stack there; round-4 extension)
+    for C, NH in ((64, 4), (256, 4), (512, 8)):
         xw = jnp.asarray(rng.normal(size=(256, 9, C)).astype(np.float32))
-        kw = dict(dim=C, window_size=(3, 3), num_heads=4)
+        kw = dict(dim=C, window_size=(3, 3), num_heads=NH)
         plain = WindowAttention(use_pallas=False, **kw)
         blockm = WindowAttention(use_pallas=True, use_pallas_block=True, **kw)
         vb = plain.init({"params": jax.random.key(0)}, xw, None, train=False)
@@ -266,6 +268,30 @@ def main():
         err = float(np.abs(np.asarray(a, np.float64) - np.asarray(jax.device_get(b), np.float64)).max()
                     / (np.abs(np.asarray(jax.device_get(b))).max() + 1e-9))
         assert err < 3e-2, f"whole-block dropout grad mismatch {nm}: {err}"
+    # per-head variant dropout: deterministic forward + stored mask sane
+    Cp, Hp = 512, 8
+    xp = jnp.asarray(rng.normal(size=(128, 9, Cp)).astype(np.float32))
+    wq_p = jnp.asarray(rng.normal(size=(Cp, 3 * Cp)).astype(np.float32) * 0.05)
+    bq_p = jnp.asarray(rng.normal(size=(3 * Cp,)).astype(np.float32) * 0.05)
+    wp_p = jnp.asarray(rng.normal(size=(Cp, Cp)).astype(np.float32) * 0.05)
+    bp_p = jnp.asarray(rng.normal(size=(Cp,)).astype(np.float32) * 0.05)
+    bl_p = jnp.asarray(rng.normal(size=(Hp, 9, 9, 128)).astype(np.float32))
+    fwd_p = jax.jit(lambda xx: _wblock_fwd_impl(
+        xx, wq_p, bq_p, wp_p, bp_p, bl_p, seed=sd, rate=rate, want_mask=True))
+    yp1, mp1 = jax.device_get(fwd_p(xp))
+    yp2, mp2 = jax.device_get(fwd_p(xp))
+    assert np.array_equal(yp1, yp2) and np.array_equal(mp1, mp2), \
+        "per-head whole-block dropout forward is not deterministic"
+    kf = float(np.mean(np.asarray(mp1, np.float32)))
+    assert abs(kf - (1 - rate)) < 0.02, f"per-head keep fraction {kf} vs {1-rate}"
+    # backward runs and returns finite grads through the stored mask
+    pg = jax.device_get(jax.jit(lambda xx, gy: _wblock_bwd_impl(
+        xx, wq_p, bq_p, wp_p, bp_p, bl_p, gy, mask=jnp.asarray(mp1), rate=rate,
+    ))(xp, jnp.asarray(rng.normal(size=(128, 9, Cp)).astype(np.float32))))
+    for nm, a in zip(("dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"), pg):
+        assert np.all(np.isfinite(np.asarray(a, np.float32))), f"per-head {nm} not finite"
+    print("per-head whole-block dropout: deterministic fwd + finite bwd OK")
+
     print("whole-block dropout: deterministic fwd, stored-mask fwd parity, "
           "all 6 grads match the mask-conditioned reference VJP")
 
