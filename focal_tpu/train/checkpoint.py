@@ -7,6 +7,7 @@ weights. Pretrain checkpoints additionally keep a params+batch_stats-only
 view for finetune loading, mirroring "backbone only" saves.
 """
 
+import json
 import os
 
 import jax
@@ -18,8 +19,18 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_state(path, state, extra=None):
-    """Save a TrainState (or any pytree) to `path` (a directory)."""
+def _meta_path(path):
+    # sidecar next to (not inside) the orbax dir — orbax owns the dir contents
+    return os.path.abspath(path).rstrip("/") + ".meta.json"
+
+
+def save_state(path, state, extra=None, meta=None):
+    """Save a TrainState (or any pytree) to `path` (a directory).
+
+    `meta` is a small JSON-able dict of run settings that shape the opt_state
+    pytree (e.g. grad_accum); it is written to a sidecar file and validated on
+    restore so a mismatched -resume fails with an actionable message instead
+    of a raw orbax tree-structure error."""
     payload = {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
@@ -31,6 +42,28 @@ def save_state(path, state, extra=None):
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), payload, force=True)
     ckptr.wait_until_finished()
+    if meta is not None:
+        with open(_meta_path(path), "w") as f:
+            json.dump(meta, f)
+
+
+def check_meta(path, expected):
+    """Compare a checkpoint's sidecar meta against the live run's settings.
+
+    Raises ValueError on mismatch. Silently passes when no sidecar exists
+    (checkpoints from older versions)."""
+    mp = _meta_path(path)
+    if not os.path.exists(mp):
+        return
+    with open(mp) as f:
+        saved = json.load(f)
+    for key, want in expected.items():
+        if key in saved and saved[key] != want:
+            raise ValueError(
+                f"Checkpoint {path} was saved with {key}={saved[key]} but this "
+                f"run uses {key}={want}; the optimizer-state structure differs. "
+                f"Pass -{key} {saved[key]} to resume, or start a fresh run."
+            )
 
 
 def save_params(path, params, batch_stats=None):

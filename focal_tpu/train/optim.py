@@ -95,7 +95,7 @@ def trainable_mask(params, args):
     return jax.tree_util.tree_map(lambda _: True, params)
 
 
-def build_optimizer(args, params, steps_per_epoch, epochs_override=None):
+def build_optimizer(args, params, steps_per_epoch, epochs_override=None, accum_in_step=False):
     """Create (optax tx, lr(epoch) fn). The tx maps global step -> epoch.
 
     With ``args.grad_accum = k > 1`` the whole chain is wrapped in
@@ -104,14 +104,46 @@ def build_optimizer(args, params, steps_per_epoch, epochs_override=None):
     effective batch = k x batch_size at one micro-batch's activation
     memory. The inner schedule count then advances once per EFFECTIVE
     update, so the epoch mapping divides by steps_per_epoch / k.
+
+    accum_in_step=True (FOCAL pretrain feature-gather path): the TRAIN STEP
+    itself accumulates over k micro-batches and calls the optimizer once per
+    effective update, so no MultiSteps wrapper is added; ``step`` then counts
+    effective updates and the epoch mapping uses steps_per_epoch // k (the
+    gather drops the ragged micro-step tail, so cycles never straddle epochs).
     """
     grad_accum = max(1, int(getattr(args, "grad_accum", 1) or 1))
+    if grad_accum > 1 and not accum_in_step and steps_per_epoch % grad_accum != 0:
+        import logging
+
+        if grad_accum > steps_per_epoch:
+            logging.warning(
+                f"= -grad_accum {grad_accum} exceeds steps_per_epoch "
+                f"{steps_per_epoch}: some epochs will produce ZERO optimizer "
+                "updates (accumulation cycles span epochs). Lower -grad_accum "
+                "or raise -batch_size."
+            )
+        else:
+            logging.warning(
+                f"= steps_per_epoch {steps_per_epoch} is not divisible by "
+                f"-grad_accum {grad_accum}: accumulation cycles straddle epoch "
+                "boundaries, so the lr(epoch) mapping drifts slightly at them."
+            )
     optimizer_config, scheduler_config = _stage_configs(args)
     if epochs_override:
         scheduler_config = dict(scheduler_config)
         scheduler_config["train_epochs"] = epochs_override
     lr_epoch = make_epoch_schedule(scheduler_config, optimizer_config)
-    eff_steps_per_epoch = steps_per_epoch / grad_accum
+    if getattr(args, "ref_lr_timing", False):
+        # the reference loops call timm's scheduler.step(e) at epoch END, so
+        # epoch e trains at lr(e-1) and epoch 0 at the constructor's lr(0)
+        # (reference: src/train_utils/supervised_train.py:104 +
+        # lr_scheduler.py:21-43)
+        base_lr_epoch = lr_epoch
+        lr_epoch = lambda e: base_lr_epoch(jnp.maximum(jnp.asarray(e) - 1, 0))
+    if accum_in_step:
+        eff_steps_per_epoch = max(1, steps_per_epoch // grad_accum)
+    else:
+        eff_steps_per_epoch = steps_per_epoch / grad_accum
 
     def lr_step(step):
         return lr_epoch(jnp.floor(step / eff_steps_per_epoch))
@@ -145,7 +177,7 @@ def build_optimizer(args, params, steps_per_epoch, epochs_override=None):
             {"train": tx, "freeze": optax.set_to_zero()},
             param_labels=jax_tree_map_labels(mask),
         )
-    if grad_accum > 1:
+    if grad_accum > 1 and not accum_in_step:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx, lr_epoch
 

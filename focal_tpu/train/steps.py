@@ -229,7 +229,7 @@ def _shard_batch(batch, mesh_plan):
 def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
                            subseq_idx=None, mesh_plan=None, fused_views=True,
                            epochs_per_call=1, data_layout="replicated",
-                           state_shardings=None):
+                           state_shardings=None, grad_accum=1, accum_gather=True):
     """One jitted call per `epochs_per_call` EPOCHS: on-device shuffles + a
     nested lax.scan over (epochs, steps).
 
@@ -246,6 +246,28 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
     gather runs under shard_map (no cross-device data movement). subseq_idx
     then only provides seq_len — the grouped layout stores subsequences
     contiguously.
+
+    grad_accum=k>1 with accum_gather=True (the default) makes accumulated
+    pretraining EQUIVALENT to the large contrastive batch via a
+    GradCache-style two-pass step (Gao et al. 2021, "Scaling Deep Contrastive
+    Learning Batch Size under Memory Limited Setup"): pass 1 runs the k
+    micro-forwards and keeps only the projector features ([B, 256] per mod —
+    cheap); the 4-term FOCAL loss is computed ONCE on the concatenated
+    [k*B] features, so InfoNCE negatives and the temporal-ranking matrix span
+    the full effective batch (reference negatives structure:
+    /root/reference/src/models/loss.py:48-87); pass 2 recomputes each
+    micro-forward under jax.vjp with the SAME dropout keys and pulls the
+    feature cotangents back into parameter gradients, summed across
+    micro-batches. Exactly the large-batch gradient at one micro-batch's
+    activation memory + one param-sized accumulator, for ~1 extra forward per
+    micro-batch. BatchNorm batch statistics remain per-micro-batch (they
+    don't affect train-mode outputs). The optimizer must NOT be wrapped in
+    MultiSteps (build_optimizer(accum_in_step=True)); `state.step` counts
+    effective updates. The ragged micro-step tail of each epoch is dropped,
+    so accumulation cycles never straddle epochs.
+
+    accum_gather=False: per-micro-batch losses, plain MultiSteps averaging
+    (negatives stay per-micro-batch).
 
     Returns run(state, data, rng) -> (state, mean_loss over the block).
     """
@@ -273,12 +295,100 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         local_gather = make_local_gather(mesh_plan.mesh, per_local, group=seq_len)
     else:
         steps_per_epoch = max(1, n_items // per)
+    gathered_accum = grad_accum > 1 and accum_gather
+    if gathered_accum and steps_per_epoch < grad_accum:
+        raise ValueError(
+            f"-grad_accum {grad_accum} exceeds the {steps_per_epoch} steps per "
+            "epoch; lower -grad_accum or -batch_size"
+        )
+    eff_steps_per_epoch = steps_per_epoch // grad_accum if gathered_accum else steps_per_epoch
     fuse_views, split_views = make_view_fuser(mesh_plan, per * seq_len, seq_len)
+
+    def micro_batch(data, subseq_rows, perm, i):
+        """Gather micro-step i's batch + derive its two augmented views'
+        rng keys. Deterministic in (perm, i): pass 2 of the gathered
+        accumulation recomputes it bit-identically."""
+        if sharded:
+            return local_gather(data, perm, i[None])
+        sel = jax.lax.dynamic_slice(perm, (i * per,), (per,))
+        if subseq_rows is not None:
+            idx = jnp.take(subseq_rows, sel, axis=0).reshape(-1)
+        else:
+            idx = sel
+        return _shard_batch(gather_batch(data, idx), mesh_plan)
+
+    def micro_views(data, subseq_rows, perm, step_rng, i):
+        batch = micro_batch(data, subseq_rows, perm, i)
+        rng_v1, rng_v2, rng_drop = jax.random.split(jax.random.fold_in(step_rng, i), 3)
+        view1 = augmenter.random(rng_v1, batch)
+        view2 = augmenter.random(rng_v2, batch)
+        return view1, view2, rng_drop
+
+    def micro_features(params, batch_stats, view1, view2, rng_drop):
+        """(f1, f2, new_stats) for one micro-batch. Train-mode BatchNorm
+        normalises with batch statistics, so f1/f2 do not depend on
+        batch_stats — pass 2 may recompute with any stats value."""
+        from types import SimpleNamespace
+
+        st = SimpleNamespace(params=params, batch_stats=batch_stats)
+        if fused_views:
+            both = fuse_views(view1, view2)
+            feats, new_stats = _apply_train(model, st, both, rng_drop, "proj")
+            f1, f2 = split_views(feats)
+            return f1, f2, new_stats
+        f1, stats1 = _apply_train(model, st, view1, rng_drop, "proj")
+        st2 = SimpleNamespace(params=params, batch_stats=stats1)
+        f2, stats2 = _apply_train(model, st2, view2,
+                                  jax.random.fold_in(rng_drop, 1), "proj")
+        return f1, f2, stats2
+
+    def accum_body(state, e, data, subseq_rows, perm, step_rng):
+        """One EFFECTIVE step: gather features over grad_accum micro-batches,
+        one concatenated FOCAL loss, vjp recompute, one update."""
+        micro_ids = e * grad_accum + jnp.arange(grad_accum)
+
+        # ---- pass 1: features only (activations freed per micro-batch)
+        def collect(stats, i):
+            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i)
+            f1, f2, new_stats = micro_features(state.params, stats, view1, view2, rng_drop)
+            return new_stats, (f1, f2)
+
+        new_stats, (f1s, f2s) = jax.lax.scan(collect, state.batch_stats, micro_ids)
+
+        # ---- the large-batch loss on concatenated features
+        def loss_of_feats(stacked):
+            s1, s2 = stacked
+            F1 = {m: v.reshape((-1,) + v.shape[2:]) for m, v in s1.items()}
+            F2 = {m: v.reshape((-1,) + v.shape[2:]) for m, v in s2.items()}
+            loss, _ = focal_loss(F1, F2)
+            return loss
+
+        loss, gfeats = jax.value_and_grad(loss_of_feats)((f1s, f2s))
+        gf1s, gf2s = gfeats
+
+        # ---- pass 2: recompute each micro-forward under vjp, pull the
+        # feature cotangents back into param grads, sum
+        def backprop(acc, args_i):
+            i, gf1, gf2 = args_i
+            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i)
+
+            def fwd(params):
+                f1, f2, _ = micro_features(params, state.batch_stats, view1, view2, rng_drop)
+                return f1, f2
+
+            _, vjp_fn = jax.vjp(fwd, state.params)
+            (g,) = vjp_fn((gf1, gf2))
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        grads, _ = jax.lax.scan(backprop, zero, (micro_ids, gf1s, gf2s))
+        new_state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
+        return new_state, loss
 
     def one_epoch(state, data, subseq_rows, rng):
         # epoch index derives from the optimizer step counter: no per-call
         # host scalar crosses the tunnel
-        epoch = state.step // steps_per_epoch
+        epoch = state.step // eff_steps_per_epoch
         perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
         if sharded:
             seeds = jax.random.randint(
@@ -288,40 +398,20 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         else:
             perm = jax.random.permutation(perm_rng, n_items)
 
+        if gathered_accum:
+            def eff_body(state, e):
+                return accum_body(state, e, data, subseq_rows, perm, step_rng)
+
+            state, losses = jax.lax.scan(eff_body, state, jnp.arange(eff_steps_per_epoch))
+            return state, jnp.mean(losses)
+
         def body(state, i):
-            if sharded:
-                batch = local_gather(data, perm, i[None])
-            else:
-                sel = jax.lax.dynamic_slice(perm, (i * per,), (per,))
-                if subseq_rows is not None:
-                    idx = jnp.take(subseq_rows, sel, axis=0).reshape(-1)
-                else:
-                    idx = sel
-                batch = _shard_batch(gather_batch(data, idx), mesh_plan)
+            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i)
 
-            rng_v1, rng_v2, rng_drop = jax.random.split(jax.random.fold_in(step_rng, i), 3)
-            view1 = augmenter.random(rng_v1, batch)
-            view2 = augmenter.random(rng_v2, batch)
-
-            if fused_views:
-                both = fuse_views(view1, view2)
-
-                def loss_fn(params):
-                    feats, new_stats = _apply_train(
-                        model, state.replace(params=params), both, rng_drop, "proj"
-                    )
-                    f1, f2 = split_views(feats)
-                    loss, _ = focal_loss(f1, f2)
-                    return loss, new_stats
-
-            else:
-
-                def loss_fn(params):
-                    f1, stats1 = _apply_train(model, state.replace(params=params), view1, rng_drop, "proj")
-                    st = state.replace(params=params, batch_stats=stats1)
-                    f2, stats2 = _apply_train(model, st, view2, jax.random.fold_in(rng_drop, 1), "proj")
-                    loss, _ = focal_loss(f1, f2)
-                    return loss, stats2
+            def loss_fn(params):
+                f1, f2, new_stats = micro_features(params, state.batch_stats, view1, view2, rng_drop)
+                loss, _ = focal_loss(f1, f2)
+                return loss, new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
@@ -369,9 +459,12 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
             rng_cache[id(rng)] = (rng, put_replicated_global(rng, mesh_plan))
         return jitted(state, data, rows, rng_cache[id(rng)][1])
 
-    run.steps_per_epoch = steps_per_epoch
+    run.steps_per_epoch = eff_steps_per_epoch
     run.epochs_per_call = epochs_per_call
-    run.windows_per_epoch = steps_per_epoch * per * seq_len
+    run.windows_per_epoch = (
+        eff_steps_per_epoch * grad_accum * per * seq_len if gathered_accum
+        else steps_per_epoch * per * seq_len
+    )
     return run
 
 

@@ -185,3 +185,142 @@ def test_supervised_loop_with_grad_accum_learns(make_args):
     )
     state, best_val_acc = supervised_train(args)
     assert best_val_acc > 0.6
+
+
+# ---------------------------------------------------------------------------
+# FOCAL pretrain gathered accumulation (GradCache two-pass): with
+# -grad_accum k the epoch fn computes the FOCAL loss ONCE on the features of
+# all k micro-batches concatenated, so contrastive negatives span the full
+# effective batch, then recovers the EXACT large-batch parameter gradient by
+# recomputing each micro-forward under jax.vjp (steps.make_pretrain_epoch_fn).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def accum_setup(tmp_path_factory):
+    from focal_tpu.params.cli import build_parser
+    from focal_tpu.params.auto import set_auto_params
+
+    args = build_parser().parse_args(
+        ["-dataset", "MOD_TINY", "-model", "SW_Transformer", "-learn_framework", "FOCAL",
+         "-stage", "pretrain", "-synthetic", "-batch_size", "8", "-compute_dtype", "float32"]
+    )
+    args.option = "train"
+    args.output_dir = str(tmp_path_factory.mktemp("gacc"))
+    args = set_auto_params(args)
+
+    from focal_tpu.train.losses import make_focal_loss
+
+    model = build_backbone(args)
+    augmenter = build_augmenter(args)
+    focal_loss = make_focal_loss(args)
+    seq_len = args.dataset_config["seq_len"]  # 4
+    n_samples = 16  # 4 subsequences
+    rng = np.random.default_rng(0)
+    data = {
+        "shake": {
+            "seismic": jnp.asarray(rng.normal(size=(n_samples, 1, 10, 20)).astype(np.float32)),
+            "audio": jnp.asarray(rng.normal(size=(n_samples, 1, 10, 96)).astype(np.float32)),
+        }
+    }
+    subseq_idx = np.arange(n_samples).reshape(-1, seq_len)
+    sample = jax.jit(augmenter.no)(jax.tree_util.tree_map(lambda a: a[:2], data))
+    state = init_state(args, model, sample, optax.sgd(0.05), jax.random.key(0))
+    return args, model, augmenter, focal_loss, data, subseq_idx, state
+
+
+def test_gathered_accum_is_exact_large_batch_gradient(accum_setup):
+    """grad_accum=2, batch_size=8, 4 subsequences -> ONE effective step per
+    epoch over both micro-batches. The expected update is direct autodiff of
+    the concatenated-features FOCAL loss through BOTH micro-forwards in one
+    graph (the true effective-batch gradient, dropout keys matched); the
+    epoch fn must reproduce it through its two-pass feature-gather."""
+    from focal_tpu.train.steps import make_pretrain_epoch_fn
+
+    args, model, augmenter, focal_loss, data, subseq_idx, state0 = accum_setup
+    k = 2
+    seq_len = subseq_idx.shape[1]
+    per = 8 // seq_len  # 2 subsequences per micro-batch
+    n_items = subseq_idx.shape[0]
+    rng = jax.random.key(11)
+
+    fn = make_pretrain_epoch_fn(
+        model, augmenter, focal_loss,
+        n_items=n_items, batch_size=8, subseq_idx=subseq_idx,
+        mesh_plan=None, fused_views=True, grad_accum=k, accum_gather=True,
+    )
+    assert fn.steps_per_epoch == 1  # 2 micro-steps -> 1 effective update
+    assert fn.windows_per_epoch == 16
+    state_acc, loss_acc = fn(jax.tree_util.tree_map(jnp.copy, state0), data, rng)
+
+    # ---- direct large-batch reference, mirroring the epoch fn's rng folding
+    rows = jnp.asarray(subseq_idx)
+    epoch = 0
+    perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
+    perm = jax.random.permutation(perm_rng, n_items)
+
+    def direct_loss(params):
+        fs1, fs2 = [], []
+        stats = state0.batch_stats
+        for j in range(k):
+            sel = jax.lax.dynamic_slice(perm, (j * per,), (per,))
+            idx = jnp.take(rows, sel, axis=0).reshape(-1)
+            batch = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+            rv1, rv2, rdrop = jax.random.split(jax.random.fold_in(step_rng, j), 3)
+            v1 = augmenter.random(rv1, batch)
+            v2 = augmenter.random(rv2, batch)
+            both = jax.tree_util.tree_map(lambda a, c: jnp.concatenate([a, c], axis=0), v1, v2)
+            feats, mut = model.apply(
+                {"params": params, "batch_stats": stats}, both, train=True,
+                head="proj", rngs={"dropout": rdrop}, mutable=["batch_stats"],
+            )
+            stats = mut["batch_stats"]
+            b = per * seq_len
+            fs1.append({m: v[:b] for m, v in feats.items()})
+            fs2.append({m: v[b:] for m, v in feats.items()})
+        F1 = {m: jnp.concatenate([f[m] for f in fs1], axis=0) for m in fs1[0]}
+        F2 = {m: jnp.concatenate([f[m] for f in fs2], axis=0) for m in fs2[0]}
+        loss, _ = focal_loss(F1, F2)
+        return loss
+
+    loss_direct, grads = jax.value_and_grad(jax.jit(direct_loss))(state0.params)
+    np.testing.assert_allclose(float(loss_acc), float(loss_direct), rtol=2e-5)
+
+    expected = jax.tree_util.tree_map(lambda p, g: p - 0.05 * g, state0.params, grads)
+    for e, a in zip(jax.tree_util.tree_leaves(expected), jax.tree_util.tree_leaves(state_acc.params)):
+        scale = max(float(jnp.max(jnp.abs(e))), 1e-12)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=0, atol=5e-6 * scale)
+
+
+def test_gathered_accum_negatives_span_effective_batch(accum_setup):
+    """The gathered loss differs from the mean of per-micro losses (negatives
+    crossed micro-batches), proving the gather isn't reducing to MultiSteps."""
+    from focal_tpu.train.steps import make_pretrain_epoch_fn
+
+    args, model, augmenter, focal_loss, data, subseq_idx, state0 = accum_setup
+    rng = jax.random.key(11)
+    gathered = make_pretrain_epoch_fn(
+        model, augmenter, focal_loss,
+        n_items=subseq_idx.shape[0], batch_size=8, subseq_idx=subseq_idx,
+        mesh_plan=None, grad_accum=2, accum_gather=True,
+    )
+    micro = make_pretrain_epoch_fn(
+        model, augmenter, focal_loss,
+        n_items=subseq_idx.shape[0], batch_size=8, subseq_idx=subseq_idx,
+        mesh_plan=None, grad_accum=2, accum_gather=False,
+    )
+    _, loss_g = gathered(jax.tree_util.tree_map(jnp.copy, state0), data, rng)
+    _, loss_m = micro(jax.tree_util.tree_map(jnp.copy, state0), data, rng)
+    assert not np.isclose(float(loss_g), float(loss_m), rtol=1e-3)
+
+
+def test_gathered_accum_rejects_oversized_accum(accum_setup):
+    from focal_tpu.train.steps import make_pretrain_epoch_fn
+
+    args, model, augmenter, focal_loss, data, subseq_idx, state0 = accum_setup
+    with pytest.raises(ValueError, match="grad_accum"):
+        make_pretrain_epoch_fn(
+            model, augmenter, focal_loss,
+            n_items=subseq_idx.shape[0], batch_size=8, subseq_idx=subseq_idx,
+            mesh_plan=None, grad_accum=5, accum_gather=True,
+        )
