@@ -62,22 +62,42 @@ def _batch_sharding(mesh_plan):
 
 class _BlockFeeder:
     """Assembles permuted [K, B, ...] blocks on host and device_puts them
-    asynchronously (the transfer of block k+1 overlaps block k's compute)."""
+    asynchronously (the transfer of block k+1 overlaps block k's compute).
+
+    Multi-process: every process computes the SAME global permutation (seeded
+    identically), assembles only the batch COLUMNS its local devices own for
+    the P(None, 'data') block sharding, and forms the global array with
+    jax.make_array_from_process_local_data — so each host streams exactly its
+    shard's bytes (VERDICT round-3 item 6)."""
 
     def __init__(self, host_data, host_labels, sharding):
         self.data = host_data
         self.labels = host_labels
         self.sharding = sharding
+        self.multiproc = jax.process_count() > 1 and sharding is not None
 
     def block(self, row_idx):
         """row_idx: [K, B] sample rows -> device {loc: {mod: [K, B, ...]}}."""
-        tree = jax.tree_util.tree_map(lambda a: a[row_idx], self.data)
-        out = [jax.device_put(tree, self.sharding) if self.sharding is not None
-               else jax.device_put(tree)]
+        if self.multiproc:
+            from focal_tpu.parallel.distributed import local_axis_slice
+
+            # gather ONLY this process's batch columns (the [K, B] index and
+            # every [K, B, ...] leaf shard axis 1 identically under
+            # P(None, 'data')); global arrays form from the local slabs
+            lo, hi = local_axis_slice(self.sharding, row_idx.shape, axis=1)
+            local_rows = row_idx[:, lo:hi]
+            put = lambda a: jax.make_array_from_process_local_data(
+                self.sharding, np.ascontiguousarray(a[local_rows])
+            )
+        elif self.sharding is not None:
+            local_rows = row_idx
+            put = lambda a: jax.device_put(a[local_rows], self.sharding)
+        else:
+            local_rows = row_idx
+            put = lambda a: jax.device_put(a[local_rows])
+        out = [jax.tree_util.tree_map(put, self.data)]
         if self.labels is not None:
-            lab = self.labels[row_idx]
-            out.append(jax.device_put(lab, self.sharding) if self.sharding is not None
-                       else jax.device_put(lab))
+            out.append(put(self.labels))
         return out
 
 

@@ -73,6 +73,9 @@ def maybe_initialize(args=None):
         f"= jax.distributed: process {jax.process_index()}/{jax.process_count()}, "
         f"{len(jax.local_devices())} local / {len(jax.devices())} global devices"
     )
+    from focal_tpu.utils.cache import disable_for_multiprocess_cpu
+
+    disable_for_multiprocess_cpu()
     return jax.process_count() > 1
 
 
@@ -126,6 +129,28 @@ def sync_first_call(fn, name):
         if hasattr(fn, attr):
             setattr(wrapped, attr, getattr(fn, attr))
     return wrapped
+
+
+def local_axis_slice(sharding, shape, axis=0):
+    """The contiguous global index range this process feeds along `axis` of a
+    sharded array with global `shape`. Meshes built from jax.devices() order
+    devices process-major, so every process's shards form one contiguous
+    slice; asserted here rather than assumed."""
+    n = shape[axis]
+    index_map = sharding.addressable_devices_indices_map(tuple(shape))
+    starts = sorted(
+        (0 if sl[axis].start is None else sl[axis].start,
+         n if sl[axis].stop is None else sl[axis].stop)
+        for sl in index_map.values()
+    )
+    lo, hi = starts[0][0], starts[-1][1]
+    covered = sum(b - a for a, b in set(starts))
+    if covered != hi - lo:
+        raise ValueError(
+            f"process-local shards are not contiguous ({starts}); "
+            "build the mesh from jax.devices() in default order"
+        )
+    return lo, hi
 
 
 def _local_row_slice(sharding, n_rows):

@@ -14,6 +14,24 @@ import jax  # noqa: E402
 # the config API wins over both
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: most of the suite's wall time is XLA compiles
+# of the same jitted programs run-over-run (VERDICT round-3 item 8 — the
+# "fast" subset paid full 8-device mesh compiles every invocation). Keyed by
+# optimized-HLO hash, so code changes invalidate exactly the programs they
+# touch. The directory is suffixed per-host (utils/cache.py): XLA:CPU AOT
+# artifacts from a different machine mis-load and can deadlock the
+# multi-process gloo tests. Override the root with FOCAL_TEST_CACHE; set it
+# empty to disable.
+_cache = os.environ.get("FOCAL_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+if _cache:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from focal_tpu.utils.cache import cache_dir_for_host
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir_for_host(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

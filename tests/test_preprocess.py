@@ -152,6 +152,64 @@ def test_partition(tmp_path):
     assert set(train).isdisjoint(val)
 
 
+def test_partition_drops_incomplete_samples(tmp_path):
+    """The reference keeps only samples with the complete modality set
+    (partition_data.py:44-117, flag-product check per torch.load); .npz
+    samples missing a (loc, mod) key other samples carry must be dropped,
+    and .pt samples with a zero flag likewise."""
+    import torch
+
+    d = tmp_path / "samples"
+    os.makedirs(d)
+    full = {"data.shake.audio": np.zeros((1, 2, 3), np.float32),
+            "data.shake.seismic": np.zeros((1, 2, 3), np.float32)}
+    for i in range(8):
+        np.savez(d / f"motor_rs1_{i}.npz", label=np.int32(0), **full)
+    # incomplete: missing seismic
+    np.savez(d / "motor_rs1_bad.npz", label=np.int32(0),
+             **{"data.shake.audio": np.zeros((1, 2, 3), np.float32)})
+    # reference-format .pt with a zero modality flag
+    torch.save(
+        {"label": {"vehicle_type": 0}, "flag": {"shake": {"audio": 1, "seismic": 0}},
+         "data": {"shake": {"audio": torch.zeros(1, 2, 3), "seismic": torch.zeros(1, 2, 3)}}},
+        d / "motor_rs1_badflag.pt",
+    )
+    extra = tmp_path / "extra"
+    os.makedirs(extra)
+    np.savez(extra / "x_0.npz", label=np.int32(0), **full)
+    np.savez(extra / "x_bad.npz", label=np.int32(0),
+             **{"data.shake.audio": np.zeros((1, 2, 3), np.float32)})
+
+    idx = partition_samples(str(d), str(tmp_path / "out"), extra_dir=str(extra))
+    listed = set()
+    for name in ("train", "val", "test", "pretrain"):
+        listed |= set(open(idx[name]).read().split())
+    assert not any("bad" in p for p in listed)
+    train = open(idx["train"]).read().split()
+    val = open(idx["val"]).read().split()
+    assert len(train) + len(val) == 8  # the 8 complete .npz samples
+    assert len(open(idx["pretrain"]).read().split()) == 1 + len(train)
+
+    # keep-incomplete escape hatch indexes everything
+    idx2 = partition_samples(str(d), str(tmp_path / "out2"), extra_dir=str(extra),
+                             require_complete=False)
+    all2 = set(open(idx2["train"]).read().split()) | set(open(idx2["val"]).read().split())
+    assert len(all2) == 10
+
+
+def test_partition_name_allowlists(tmp_path):
+    """Target/shake filename allowlists (reference partition_data.py:60-66)."""
+    d = tmp_path / "samples"
+    os.makedirs(d)
+    for name in ("motor_rs1_0", "motor_rs9_0", "pickup_rs1_0", "tesla_rs2_0"):
+        np.savez(d / f"{name}.npz", label=np.int32(0))
+    idx = partition_samples(str(d), str(tmp_path / "out"),
+                            targets={"motor", "tesla"}, shakes={"rs1", "rs2"})
+    kept = {os.path.basename(p) for p in
+            set(open(idx["train"]).read().split()) | set(open(idx["val"]).read().split())}
+    assert kept == {"motor_rs1_0.npz", "tesla_rs2_0.npz"}
+
+
 def _mkdirs(root, layout):
     for run, shakes in layout.items():
         for s in shakes:

@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--nproc", type=int, default=0)
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="Force the streaming data path (-hbm_budget_gb tiny): each "
+        "process assembles + ships only its local batch columns per block "
+        "(VERDICT round-3 item 6).",
+    )
     a = ap.parse_args()
 
     import jax
@@ -52,19 +58,19 @@ def main():
     from focal_tpu.train.steps import make_pretrain_epoch_fn
     from focal_tpu.train import loops
 
-    args = build_parser().parse_args(
-        [
-            "-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL",
-            "-stage", "pretrain", "-synthetic", "-synthetic_samples", "64",
-            "-batch_size", "32", "-seed", "3", "-data_layout", "sharded",
-            "-output_dir", os.environ.get("TMPDIR", "/tmp"),
-        ]
-    )
+    argv = [
+        "-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL",
+        "-stage", "pretrain", "-synthetic", "-synthetic_samples", "64",
+        "-batch_size", "32", "-seed", "3", "-data_layout", "sharded",
+        "-output_dir", os.environ.get("TMPDIR", "/tmp"),
+    ]
+    if a.stream:
+        argv += ["-hbm_budget_gb", "0.000001", "-stream_block_steps", "2"]
+    args = build_parser().parse_args(argv)
     args.option = "train"
     args = set_auto_params(args)
 
     run = loops.Run(args)
-    assert run.data_layout == "sharded", run.data_layout
     sample = run.sample_freq_batch()
     state = init_state(args, run.model, sample, optax.identity(), jax.random.key(args.seed))
     tx, _ = build_optimizer(args, state.params, steps_per_epoch=len(run.train_loader))
@@ -73,14 +79,31 @@ def main():
 
     focal_loss = make_focal_loss(args)
     train_ds = run.train_loader.dataset
-    epoch_fn = make_pretrain_epoch_fn(
-        run.model, run.augmenter, focal_loss,
-        n_items=run.train_group["n_items"],
-        batch_size=run.train_loader.batch_size,
-        subseq_idx=train_ds.subseq_idx,
-        mesh_plan=run.mesh_plan,
-        data_layout="sharded",
-    )
+    if a.stream:
+        from focal_tpu.data import streaming as strm
+
+        assert run.streaming, "tiny -hbm_budget_gb must force streaming"
+        epoch_fn = strm.make_streaming_pretrain_fn(
+            run.model, run.augmenter, focal_loss,
+            host_data=run.host_train_data,
+            n_units=train_ds.num_subseqs if train_ds.subseq_idx is not None else len(train_ds),
+            batch_size=run.train_loader.batch_size,
+            subseq_idx=train_ds.subseq_idx,
+            mesh_plan=run.mesh_plan,
+            fused_views=True,
+            seed=args.seed,
+            block_steps=getattr(args, "stream_block_steps", 0) or 64,
+        )
+    else:
+        assert run.data_layout == "sharded", run.data_layout
+        epoch_fn = make_pretrain_epoch_fn(
+            run.model, run.augmenter, focal_loss,
+            n_items=run.train_group["n_items"],
+            batch_size=run.train_loader.batch_size,
+            subseq_idx=train_ds.subseq_idx,
+            mesh_plan=run.mesh_plan,
+            data_layout="sharded",
+        )
 
     rng = jax.random.key(args.seed + 1)
     losses = []
