@@ -153,12 +153,49 @@ def bench_jax(model_name):
 
     # warmup / compile; sync via a VALUE fetch — on this machine's experimental
     # backend block_until_ready can return before execution finishes, which
-    # silently inflates throughput numbers
-    for _ in range(3):
+    # silently inflates throughput numbers.
+    #
+    # Warm up until the per-step time STABILIZES, not a fixed count: on the
+    # tunneled TPU the first executions after compile run orders of magnitude
+    # slower (measured: 64s first step, ~41s for the next four, then a cliff
+    # to steady state). A fixed 3-step warmup let that tail leak into the
+    # timed loop and recorded a 2.5x-low SW number in BENCH_r03 (1,829 w/s vs
+    # the 4,6xx steady state this same code reaches).
+    warm_times = []
+    for w in range(int(os.environ.get("BENCH_MAX_WARMUP", "40"))):
+        t = time.perf_counter()
         state, metrics = step(state, data, idx_host, rng)
-    float(jax.device_get(metrics["loss"]))
+        float(jax.device_get(metrics["loss"]))
+        warm_times.append(time.perf_counter() - t)
+        if len(warm_times) >= 6 and max(warm_times[-3:]) < 1.3 * min(warm_times):
+            break
+    print(
+        f"[bench:{model_name}] warmup steps: {len(warm_times)}, per-step ms "
+        f"tail: {[round(x * 1e3, 1) for x in warm_times[-5:]]}",
+        file=sys.stderr,
+    )
     phase("step compile + warmup")
 
+    # measurement: several independent chained passes; the metric is the BEST
+    # pass (one-off host/tunnel stalls only ever slow a pass down). All pass
+    # values go to the JSON line so variance is auditable.
+    passes = []
+    for _ in range(int(os.environ.get("BENCH_PASSES", "3"))):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = step(state, data, idx_host, rng)
+        final_loss = float(jax.device_get(metrics["loss"]))
+        passes.append(time.perf_counter() - t0)
+    dt = min(passes)
+    print(
+        f"[bench:{model_name}] pass ms/step: {[round(p / STEPS * 1e3, 2) for p in passes]}",
+        file=sys.stderr,
+    )
+    phase("timing")
+
+    # FLOPs accounting AFTER the timed passes: the all-XLA-variant lowering
+    # below costs an extra compile, and compiles between warmup and timing
+    # perturbed the measured loop in earlier rounds.
     flops_per_step = _step_flops(step, state, data, idx_host, rng)
     flops_source = "cost_model"
     # XLA's cost model assigns ZERO FLOPs to custom calls, so with pallas
@@ -180,14 +217,11 @@ def bench_jax(model_name):
             flops_source = "all_xla_variant"
     phase("cost analysis")
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, data, idx_host, rng)
-    final_loss = float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
-
     windows_per_sec = BATCH * STEPS / dt
-    perf = {}
+    perf = {
+        "pass_windows_per_sec": [round(BATCH * STEPS / p / n_chips, 2) for p in passes],
+        "warmup_steps": len(warm_times),
+    }
     if flops_per_step:
         perf["flops_source"] = flops_source
         perf["flops_per_window"] = flops_per_step / BATCH
@@ -334,6 +368,8 @@ def main():
             line["mfu"] = round(perf["mfu"], 4)
         if "flops_source" in perf:
             line["flops_source"] = perf["flops_source"]
+        line["pass_windows_per_sec"] = perf.get("pass_windows_per_sec")
+        line["warmup_steps"] = perf.get("warmup_steps")
         print(json.dumps(line))
 
 

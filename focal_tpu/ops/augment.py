@@ -415,11 +415,39 @@ class Augmenter:
             return x, soft_labels
         return x, labels
 
-    def random(self, key, time_loc_inputs, return_aug_id=False):
+    def _gate_bits(self, name, key, loc_inputs):
+        """The per-(loc, mod) applied/not-applied gate draws the named
+        augmenter makes, recomputed from the SAME key derivation `_apply_one`
+        + `_gated` use (fold_in(key, li*131+mi) then the first split), so the
+        labels exactly describe what happened to the data. 'no' never
+        perturbs -> zeros."""
+        cfg = self.aug_cfgs[name]
+        p = cfg.get("prob", 1.0)
+        bits = []
+        # SORTED (loc, mod) enumeration: lax.switch flattens its dict operand
+        # into pytree-canonical (sorted-key) order, so _apply_one inside the
+        # branch sees sorted dicts — the gate recomputation must fold_in the
+        # same (li, mi) indices. Sorting here makes eager calls match too.
+        for li, loc in enumerate(sorted(loc_inputs)):
+            for mi, _mod in enumerate(sorted(loc_inputs[loc])):
+                if name == "no":
+                    bits.append(jnp.zeros((), bool))
+                    continue
+                kgate, _ = jax.random.split(jax.random.fold_in(key, li * 131 + mi))
+                bits.append(_bernoulli(kgate, p))
+        return jnp.stack(bits)
+
+    def random(self, key, time_loc_inputs, return_aug_id=False, return_aug_mods=False):
         """One random augmenter from the combined pool, in its domain
         (reference: Augmenter.py:76-113), selected on device via lax.switch.
         With return_aug_id, also returns the per-sample augmenter-id labels
-        (reference: Augmenter.py:103-106) for aug-prediction pretext tasks."""
+        (reference: Augmenter.py:103-106) for aug-prediction pretext tasks.
+        With return_aug_mods, instead returns [B, n_loc*n_mod] float labels
+        marking which (loc, mod) inputs the chosen augmenter actually
+        perturbed (reference: Augmenter.py:107-108 + the aug_mod_labels each
+        augmenter builds, e.g. JitterAugmenter.py:27-47). Column order is
+        SORTED (loc, mod) — the jax pytree-canonical dict order, which is
+        the order the switch branches enumerate."""
         k_sel, k_aug = jax.random.split(key)
         n_time = len(self.time_aug_names)
         n_freq = len(self.freq_aug_names)
@@ -443,6 +471,17 @@ class Augmenter:
             loc0 = self.locations[0]
             b = time_loc_inputs[loc0][next(iter(time_loc_inputs[loc0]))].shape[0]
             return out, jnp.full((b,), aug_id, jnp.int32)
+        if return_aug_mods:
+            # gate-bit rows for every pool entry (scalar draws — cheap), the
+            # applied row selected by aug_id and tiled over the batch
+            all_bits = jnp.stack([
+                self._gate_bits(name, k_aug, time_loc_inputs)
+                for name in self.time_aug_names + self.freq_aug_names
+            ])
+            loc0 = self.locations[0]
+            b = time_loc_inputs[loc0][next(iter(time_loc_inputs[loc0]))].shape[0]
+            mod_labels = jnp.tile(all_bits[aug_id].astype(jnp.float32)[None, :], (b, 1))
+            return out, mod_labels
         return out
 
     def no(self, time_loc_inputs):

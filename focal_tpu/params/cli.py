@@ -10,6 +10,13 @@ import argparse
 from focal_tpu.params.auto import set_auto_params
 
 
+def positive_int(value):
+    ivalue = int(value)
+    if ivalue < 1:
+        raise argparse.ArgumentTypeError(f"expected a positive integer, got {value}")
+    return ivalue
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="FOCAL-TPU")
 
@@ -82,19 +89,49 @@ def build_parser():
         type=int,
         default=1,
         help="Tensor-parallel ways on a trailing 'model' mesh axis: the wide "
-        "matmuls' weights (conv channels, Swin MLPs, projections) are "
-        "Megatron-sharded and GSPMD inserts the collectives (parallel/tp.py). "
-        "Single-process only; routes attention through the XLA path.",
+        "matmuls' weights (conv channels, Swin MLPs, projections) AND "
+        "attention (whole heads per shard via the head-aligned qkv layout) "
+        "are Megatron-sharded; GSPMD inserts the collectives (parallel/tp.py). "
+        "Composes with multi-process; routes attention through the XLA path.",
     )
     parser.add_argument(
         "-grad_accum",
-        type=int,
+        type=positive_int,
         default=1,
         help="Accumulate gradients over N consecutive micro-batches before "
         "each optimizer update (optax.MultiSteps): effective batch = "
-        "N x batch_size at one micro-batch's activation memory. Exact for "
-        "LayerNorm models; BatchNorm batch statistics and contrastive "
-        "in-batch negatives remain per-micro-batch.",
+        "N x batch_size at one micro-batch's activation memory, plus one "
+        "param-sized gradient accumulator in optimizer state (allocated "
+        "for frozen leaves too). Exact for LayerNorm models; BatchNorm "
+        "batch statistics stay per-micro-batch. FOCAL pretrain gathers "
+        "projector features across the accumulation window so contrastive "
+        "negatives span the full effective batch (see -no_accum_gather).",
+    )
+    parser.add_argument(
+        "-no_accum_gather",
+        action="store_true",
+        help="With -grad_accum N in FOCAL pretrain, fall back to plain "
+        "optax.MultiSteps averaging of per-micro-batch losses (contrastive "
+        "negatives then stay per-micro-batch) instead of the default "
+        "GradCache-style feature gather that makes accumulated pretraining "
+        "equivalent to the large contrastive batch.",
+    )
+    parser.add_argument(
+        "-ref_lr_timing",
+        action="store_true",
+        help="Reproduce the reference loop's epoch-END scheduler stepping "
+        "(timm scheduler.step(e) after epoch e: epoch e trains at lr(e-1), "
+        "epoch 0 at lr(0); reference: src/train_utils/supervised_train.py:104). "
+        "Default: epoch e trains at lr(e).",
+    )
+    parser.add_argument(
+        "-init_weight",
+        type=str,
+        default=None,
+        help="Initialise model params (+ BatchNorm stats) from this "
+        "params-only checkpoint before training starts (any stage). Used "
+        "for warm starts and for init-ablation experiments (e.g. a "
+        "torch-init state imported via utils/torch_import).",
     )
     parser.add_argument("-seed", type=int, default=0, help="PRNG seed.")
     parser.add_argument(

@@ -45,8 +45,6 @@ class Run:
     def __init__(self, args):
         self.args = args
         mp = getattr(args, "model_parallel", 1) or 1
-        if mp > 1 and dist.process_count() > 1:
-            raise ValueError("-model_parallel is single-process only (v1)")
         self.mesh_plan = make_mesh_plan(getattr(args, "data_parallel", 0), mp)
         layout = getattr(args, "data_layout", None) or "auto"
         if layout == "auto":
@@ -89,21 +87,17 @@ class Run:
                 "device-resident under tensor parallelism"
             )
         elif per_device > budget:
-            if dist.process_count() > 1:
-                logging.warning(
-                    f"= Train split needs {per_device / 1e9:.2f} GB/device over the "
-                    f"{budget / 1e9:.2f} GB budget; streaming is single-process-only, "
-                    "continuing device-resident (sharded layout already divides by "
-                    "device count)"
-                )
-            else:
-                self.streaming = True
-                self.data_layout = "replicated"  # streaming feeds whole batches
-                logging.info(
-                    f"= Train split {train_bytes / 1e9:.2f} GB exceeds the "
-                    f"{budget / 1e9:.2f} GB/device HBM budget: streaming host->device "
-                    "in double-buffered blocks"
-                )
+            self.streaming = True
+            self.data_layout = "replicated"  # streaming feeds whole batches
+            multi = (
+                f" ({dist.process_count()} processes, each feeding its local "
+                "batch columns)" if dist.process_count() > 1 else ""
+            )
+            logging.info(
+                f"= Train split {train_bytes / 1e9:.2f} GB exceeds the "
+                f"{budget / 1e9:.2f} GB/device HBM budget: streaming host->device "
+                f"in double-buffered blocks{multi}"
+            )
 
         # device-resident split data
         self.device_data = {}
@@ -186,7 +180,13 @@ class Run:
             from focal_tpu.parallel import tp
 
             sh = tp.state_shardings(state, self.mesh_plan)
-            state = jax.device_put(state, sh)
+            if dist.process_count() > 1:
+                # multi-process: device_put cannot scatter to non-addressable
+                # devices; a jitted identity with out_shardings forms the
+                # global TP-sharded arrays from equal per-process host values
+                state = jax.jit(lambda t: t, out_shardings=sh)(state)
+            else:
+                state = jax.device_put(state, sh)
             logging.info(
                 f"= TP: {tp.sharded_leaf_count(state, self.mesh_plan)} "
                 "model-sharded state leaves"
@@ -304,6 +304,9 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     import optax
 
     state = init_state(args, run.model, sample, optax.identity(), rng)
+    if getattr(args, "init_weight", None):
+        logging.info(f"= Initialising params from {args.init_weight}")
+        state = ckpt.load_params_into(state, args.init_weight, load_class_layer=True)
     if stage_name == "finetune":
         # load the pretrained backbone minus the class layer
         _, pretrain_latest = checkpoint_paths(args, stage="pretrain")
@@ -360,6 +363,7 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
     best_val_acc = -1.0
     start_epoch = 0
     if getattr(args, "resume", False):
+        ckpt.check_meta(resume_path, {"grad_accum": getattr(args, "grad_accum", 1) or 1})
         state, extra = ckpt.restore_state(
             resume_path, state, extra_template={"epoch": np.asarray(0), "best": np.asarray(0.0)}
         )
@@ -420,7 +424,9 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
             # cross-process collective; the primary host writes the data)
             ckpt.save_state(latest_path, state)
             ckpt.save_state(
-                resume_path, state, extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_acc)}
+                resume_path, state,
+                extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_acc)},
+                meta={"grad_accum": getattr(args, "grad_accum", 1) or 1},
             )
             if val_metrics[0] > best_val_acc:
                 best_val_acc = val_metrics[0]
@@ -442,8 +448,26 @@ def pretrain(args):
     import optax
 
     state = init_state(args, run.model, sample, optax.identity(), rng)
+    if getattr(args, "init_weight", None):
+        logging.info(f"= Initialising params from {args.init_weight}")
+        state = ckpt.load_params_into(state, args.init_weight, load_class_layer=True)
+    # contrastive accumulation: the epoch fn gathers features across the
+    # accumulation window and updates once per cycle (GradCache two-pass;
+    # steps.make_pretrain_epoch_fn) — unless disabled or streaming, where the
+    # per-micro MultiSteps fallback applies (negatives stay per-micro-batch)
+    grad_accum = max(1, getattr(args, "grad_accum", 1) or 1)
+    accum_gather = grad_accum > 1 and not getattr(args, "no_accum_gather", False)
+    if accum_gather and run.streaming:
+        logging.warning(
+            "= -grad_accum under streaming falls back to per-micro-batch "
+            "accumulation (optax.MultiSteps): contrastive negatives do NOT "
+            "span the effective batch. Raise -hbm_budget_gb or pass "
+            "-no_accum_gather to silence."
+        )
+        accum_gather = False
     tx, _ = build_optimizer(
-        args, state.params, steps_per_epoch=len(run.train_loader), epochs_override=getattr(args, "epochs", None)
+        args, state.params, steps_per_epoch=len(run.train_loader),
+        epochs_override=getattr(args, "epochs", None), accum_in_step=accum_gather,
     )
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
     state, state_sh = run.state_plan(state)
@@ -486,6 +510,8 @@ def pretrain(args):
             epochs_per_call=k,
             data_layout=run.data_layout,
             state_shardings=state_sh,
+            grad_accum=grad_accum,
+            accum_gather=accum_gather,
         )
     loss_fn = dist.sync_first_call(
         ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan,
@@ -523,6 +549,7 @@ def pretrain(args):
     best_val_loss = np.inf
     start_epoch = 0
     if getattr(args, "resume", False):
+        ckpt.check_meta(resume_path, {"grad_accum": getattr(args, "grad_accum", 1) or 1})
         state, extra = ckpt.restore_state(
             resume_path, state, extra_template={"epoch": np.asarray(0), "best": np.asarray(0.0)}
         )
@@ -585,7 +612,9 @@ def pretrain(args):
             # multi-process meshes ALL processes call save (orbax collective)
             ckpt.save_params(latest_path, state.params, state.batch_stats)
             ckpt.save_state(
-                resume_path, state, extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_loss)}
+                resume_path, state,
+                extra={"epoch": np.asarray(epoch_label), "best": np.asarray(best_val_loss)},
+                meta={"grad_accum": getattr(args, "grad_accum", 1) or 1},
             )
             if val_loss < best_val_loss:
                 best_val_loss = val_loss

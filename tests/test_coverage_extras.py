@@ -45,6 +45,48 @@ def test_random_pipeline_aug_id(make_args):
     assert len(set(np.asarray(aug_ids).tolist())) == 1  # one augmenter per batch
 
 
+def test_random_pipeline_aug_mod_labels(make_args):
+    """return_aug_mods yields per-(loc, mod) applied/not labels that agree
+    with what actually happened to the data (reference: Augmenter.py:107-108
+    returning each augmenter's aug_mod_labels, e.g. JitterAugmenter.py:27-47)."""
+    from focal_tpu.ops import build_augmenter
+
+    args = make_args(
+        argv=["-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL", "-stage", "pretrain"]
+    )
+    aug = build_augmenter(args)
+    rng = np.random.default_rng(1)
+    x = {
+        "shake": {
+            "seismic": jnp.asarray(rng.normal(size=(4, 1, 10, 20)).astype(np.float32)),
+            "audio": jnp.asarray(rng.normal(size=(4, 1, 10, 96)).astype(np.float32)),
+        }
+    }
+    fn = jax.jit(lambda k, x: aug.random(k, x, return_aug_mods=True))
+    baseline = jax.jit(aug.no)(x)
+    n_mods = 2
+    saw_one = saw_zero = False
+    for s in range(20):
+        out, mod_labels = fn(jax.random.key(s), x)
+        assert mod_labels.shape == (4, n_mods)
+        lab = np.asarray(mod_labels)
+        assert set(np.unique(lab)) <= {0.0, 1.0}
+        assert (lab == lab[0]).all()  # one decision per batch per (loc, mod)
+        for mi, mod in enumerate(sorted(x["shake"])):  # sorted (loc, mod) = label order
+            changed = not np.allclose(
+                np.asarray(out["shake"][mod]), np.asarray(baseline["shake"][mod]),
+                atol=1e-6,
+            )
+            applied = bool(lab[0, mi])
+            # an applied augmenter may still be a near-no-op (e.g. permutation
+            # sampling the identity order), so only assert the safe direction
+            if changed:
+                assert applied, f"seed {s}: {mod} changed but label says not applied"
+            saw_one |= applied
+            saw_zero |= not applied
+    assert saw_one and saw_zero  # both label values exercised
+
+
 @pytest.mark.parametrize("dataset", ["MOD", "ACIDS", "RealWorld_HAR", "PAMAP2", "MOD_WIDE"])
 def test_all_recipes_forward_deepsense(dataset):
     """Every shipped recipe must build and forward DeepSense (shrunk dims to
