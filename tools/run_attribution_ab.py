@@ -164,8 +164,14 @@ def main():
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + (":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
-    env["FOCAL_PLATFORM"] = a.platform
-    env["JAX_PLATFORMS"] = a.platform
+    if a.platform == "cpu":
+        env["FOCAL_PLATFORM"] = "cpu"
+    else:
+        # this host's TPU registers as the tunneled "axon" backend and the
+        # sitecustomize already selects it; forcing jax_platforms="tpu" would
+        # fail with "No jellyfish device found" — leave the default alone.
+        env.pop("FOCAL_PLATFORM", None)
+        env.pop("JAX_PLATFORMS", None)
 
     for seed in a.seeds:
         init_path = None
