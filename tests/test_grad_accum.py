@@ -54,17 +54,23 @@ def sw_setup(tmp_path_factory):
     labels = jnp.asarray(rng.integers(0, n_classes, size=(8,)), jnp.int32)
     state = init_state(args, model, freq_x, optax.identity(), jax.random.key(0))
 
-    def grads_of(params, sl):
-        fx = jax.tree_util.tree_map(lambda a: a[sl], freq_x)
-
+    # jitted (one compile per slice shape, persisted in the test cache) — the
+    # unjitted op-by-op grad of even the TINY transformer dominated the test's
+    # wall time on this 1-core host
+    @jax.jit
+    def _grads(params, fx, y):
         def loss_fn(p):
             out = model.apply(
                 {"params": p, "batch_stats": state.batch_stats},
                 fx, train=False, head="class",
             )
-            return cross_entropy(out, labels[sl])
+            return cross_entropy(out, y)
 
         return jax.grad(loss_fn)(params)
+
+    def grads_of(params, sl):
+        fx = jax.tree_util.tree_map(lambda a: a[sl], freq_x)
+        return _grads(params, fx, labels[sl])
 
     return args, state.params, grads_of
 
@@ -119,10 +125,11 @@ def test_accum_schedule_advances_per_effective_update(sw_setup):
     """With grad_accum=k the inner schedule count advances once per k micro
     steps; eff_steps_per_epoch = steps_per_epoch/k keeps the epoch->lr map
     identical to the unaccumulated run."""
-    args, params, _ = sw_setup
-    # tiny params so updates are cheap; SGD-free check via injected count:
-    # run k*steps_per_epoch micro updates and verify exactly steps_per_epoch
-    # inner (effective) updates happened.
+    args, _, _ = sw_setup
+    # tiny stand-in tree: this test only counts effective updates, the model
+    # params' values are irrelevant and a full tree makes 12 unjitted optax
+    # updates expensive
+    params = {"mod_in": {"kernel": jnp.ones((4, 4))}}
     args.grad_accum = 3
     tx, _ = build_optimizer(args, params, steps_per_epoch=4, epochs_override=4)
     opt = tx.init(params)

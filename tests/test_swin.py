@@ -192,7 +192,7 @@ def test_swin_ape(mod_tiny_config):
     def loss(params):
         return jnp.mean(model.apply({"params": params}, x, train=False, head="class") ** 2)
 
-    g = jax.grad(loss)(variables["params"])
+    g = jax.jit(jax.grad(loss))(variables["params"])
     for n in ape_names:
         assert float(np.abs(np.asarray(g[n])).sum()) > 0
 
