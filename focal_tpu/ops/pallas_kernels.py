@@ -870,14 +870,34 @@ def _block_tile_perhead(N, C, hd, B, cb):
     return tile
 
 
+# Scoped-VMEM limit for the per-head kernels. Mosaic's 16 MB default rejected
+# the backward at MOD_WIDE C=512 (measured 17.58 MB in the full step, 18.03 MB
+# standalone — a hardware compile FAILURE that round 4 shipped unmeasured); a
+# pallas kernel owns the chip's 128 MB VMEM while it runs, so raising the
+# per-kernel limit is free as long as limit + double-buffered blocks fit.
+_PH_VMEM_LIMIT = 100 * 1024 * 1024
+
+# Measured calibration of _perhead_lane_bytes against Mosaic's actual stack
+# allocation: the formula predicts 9.18 MB at (N=9, C=512, hd=128, tile=128)
+# where the compiler allocates 18.03 MB (stack liveness does not reuse the
+# per-n dot temporaries the estimate assumed shared). Apply the measured
+# ~2x with headroom.
+_PH_STACK_FACTOR = 2.5
+
+
 def wblock_perhead_fits(N, C, H):
     """Static feasibility of the per-head whole-block variant: the working
     set scales with C (x/dy/dx tiles) + hd (per-head q/k/v), so it fits wide
-    stages the monolithic kernel can't (MOD_WIDE C=512: 7.1 MB at tile 128
-    vs the monolithic's 26 MB; C=1024/hd=64: 11.8 MB)."""
+    stages the monolithic kernel can't — under the raised _PH_VMEM_LIMIT
+    (MOD_WIDE C=512: ~18 MB measured; C=1024/hd=128: ~35 MB estimated with
+    the calibration factor)."""
     hd = C // max(H, 1)
     cb = 2 if C >= 128 else 4  # _wblock_compute_dtype switches to bf16 at C>=128
-    return _perhead_lane_bytes(N, C, hd, cb) * LANE <= int(_SCOPED_VMEM_LIMIT * 0.9)
+    est = _perhead_lane_bytes(N, C, hd, cb) * LANE * _PH_STACK_FACTOR
+    # persistent weight-grad scratch (f32 dw3 + dwp + dbias accumulators,
+    # H*hd == C so the total is ~16*C*C bytes regardless of H)
+    scratch = 4 * (3 * C * C + C * C + 3 * C + H * N * N * LANE)
+    return est + scratch <= int(_PH_VMEM_LIMIT * 0.9)
 
 
 def wblock_fits_any(N, C, H):
@@ -1146,11 +1166,13 @@ def _wblock_ph_fwd_kernel(rate, *refs):
 def _wblock_ph_bwd_kernel(rate, *refs):
     if rate > 0.0:
         (x_ref, w3_ref, bq3_ref, wp_ref, bias_ref, dy_ref, mask_ref,
-         dx_ref, dw3_ref, dbq3_ref, dwp_ref, dbias_ref) = refs
+         dx_ref, dw3_ref, dbq3_ref, dwp_ref, dbias_ref,
+         dw3_acc, dbq3_acc, dwp_acc, dbias_acc) = refs
     else:
         mask_ref = None
         (x_ref, w3_ref, bq3_ref, wp_ref, bias_ref, dy_ref,
-         dx_ref, dw3_ref, dbq3_ref, dwp_ref, dbias_ref) = refs
+         dx_ref, dw3_ref, dbq3_ref, dwp_ref, dbias_ref,
+         dw3_acc, dbq3_acc, dwp_acc, dbias_acc) = refs
     x = x_ref[...]
     dy = dy_ref[...]
     N, C, TB = x.shape
@@ -1182,13 +1204,28 @@ def _wblock_ph_bwd_kernel(rate, *refs):
         jnp.dot(ao[n].astype(dy.dtype), dy[n].T, preferred_element_type=jnp.float32)
         for n in range(N)
     )  # [hd, C]
-    dx = jnp.zeros((N, C, TB), jnp.float32)
+    # dx accumulates DIRECTLY into the revisited output block instead of a
+    # local f32 [N, C, TB] accumulator: the local (plus its stack temp) pushed
+    # the scoped-VMEM stack to 17.58 MB at MOD_WIDE C=512 — over Mosaic's
+    # 16 MB limit (hardware compile failure, BENCH round 5); in-place
+    # read-modify-write of the out ref reuses the block buffer that exists
+    # anyway.
     dw3_parts, dbq3_parts = [], []
     for part, dpart in ((0, dq), (1, dk), (2, dv)):
         dpb = [dpart[n].astype(x.dtype) for n in range(N)]
-        dx = dx + jnp.stack(
+        dx_part = jnp.stack(
             [jnp.dot(w3[part], dpb[n], preferred_element_type=jnp.float32) for n in range(N)]
         )
+        if part == 0:
+            @pl.when(pl.program_id(1) == 0)
+            def _dx_init(dx_part=dx_part):
+                dx_ref[...] = dx_part
+
+            @pl.when(pl.program_id(1) != 0)
+            def _dx_acc(dx_part=dx_part):
+                dx_ref[...] = dx_ref[...] + dx_part
+        else:
+            dx_ref[...] = dx_ref[...] + dx_part
         dw3_parts.append(
             sum(jnp.dot(x[n], dpb[n].T, preferred_element_type=jnp.float32) for n in range(N))
         )
@@ -1199,27 +1236,37 @@ def _wblock_ph_bwd_kernel(rate, *refs):
     for r in range(1, TB // LANE):
         db = db + ds[:, :, r * LANE : (r + 1) * LANE]
 
-    @pl.when(pl.program_id(1) == 0)  # dx accumulates across heads (inner dim)
-    def _dx_init():
-        dx_ref[...] = dx
+    # Weight/bias grads accumulate across batch tiles (the OUTER grid dim),
+    # but their output blocks are indexed by h (the INNER dim) — revisits are
+    # NON-consecutive, and Pallas only guarantees revisited output buffers
+    # keep their contents across consecutive grid steps. Accumulating into
+    # the output refs directly corrupted dwqkv/dwproj ~100% at H>=4 with
+    # nb>=4 batch tiles on hardware (round-5 probe; round 4's selftest used
+    # nb=1, which never revisits, and hid it). Accumulate in VMEM scratch —
+    # scratch persists across the entire grid — and flush each head's block
+    # on its final visit (b == nb-1).
+    hsl = pl.ds(pl.program_id(1), 1)
 
-    @pl.when(pl.program_id(1) != 0)
-    def _dx_acc():
-        dx_ref[...] = dx_ref[...] + dx
-
-    @pl.when(pl.program_id(0) == 0)  # weight grads accumulate across tiles
+    @pl.when(pl.program_id(0) == 0)
     def _w_init():
-        dw3_ref[0] = dw3
-        dbq3_ref[0] = dbq3
-        dwp_ref[...] = dwp
-        dbias_ref[0] = db
+        dw3_acc[hsl] = dw3[None]
+        dbq3_acc[hsl] = dbq3[None]
+        dwp_acc[hsl] = dwp[None]
+        dbias_acc[hsl] = db[None]
 
     @pl.when(pl.program_id(0) != 0)
     def _w_acc():
-        dw3_ref[0] = dw3_ref[0] + dw3
-        dbq3_ref[0] = dbq3_ref[0] + dbq3
-        dwp_ref[...] = dwp_ref[...] + dwp
-        dbias_ref[0] = dbias_ref[0] + db
+        dw3_acc[hsl] = dw3_acc[hsl] + dw3[None]
+        dbq3_acc[hsl] = dbq3_acc[hsl] + dbq3[None]
+        dwp_acc[hsl] = dwp_acc[hsl] + dwp[None]
+        dbias_acc[hsl] = dbias_acc[hsl] + db[None]
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _w_flush():
+        dw3_ref[...] = dw3_acc[hsl]
+        dbq3_ref[...] = dbq3_acc[hsl]
+        dwp_ref[...] = dwp_acc[hsl][0]
+        dbias_ref[...] = dbias_acc[hsl]
 
 
 def _ph_specs(N, C, hd, tile):
@@ -1280,6 +1327,7 @@ def _wblock_ph_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_PH_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(*operands)
     if seed is not None:
@@ -1323,12 +1371,23 @@ def _wblock_ph_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate
         pl.BlockSpec((hd, C), lambda b, h: (h, 0), memory_space=pltpu.VMEM),
         sp["bias"],
     )
+    # persistent accumulators for the cross-batch-tile weight-grad reduction
+    # (see _wblock_ph_bwd_kernel: output blocks indexed by the inner grid dim
+    # cannot be accumulated across the outer dim)
+    scratch_shapes = [
+        pltpu.VMEM((H, 3, C, hd), jnp.float32),
+        pltpu.VMEM((H, 3, 1, hd), jnp.float32),
+        pltpu.VMEM((H, hd, C), jnp.float32),
+        pltpu.VMEM(bias_l.shape, jnp.float32),
+    ]
     dx_t, dw3, dbq3, dwproj, dbias = pl.pallas_call(
         functools.partial(_wblock_ph_bwd_kernel, float(rate) if mask is not None else 0.0),
         out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_PH_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(*operands)
     dx = dx_t.transpose(2, 0, 1)[:B].astype(out_dtype)

@@ -181,9 +181,13 @@ def main():
     from focal_tpu.models.swin import WindowAttention
 
     # C=512/heads=8 exercises the PER-HEAD-gridded variant (the monolithic
-    # working set exceeds the scoped-VMEM stack there; round-4 extension)
-    for C, NH in ((64, 4), (256, 4), (512, 8)):
-        xw = jnp.asarray(rng.normal(size=(256, 9, C)).astype(np.float32))
+    # working set exceeds the scoped-VMEM stack there; round-4 extension).
+    # B=512 gives FOUR batch tiles — the per-head weight-grad revisit hazard
+    # (round-5 fix: outputs indexed by the inner grid dim were accumulated
+    # across the outer dim) only corrupts with nb>=4; nb=2 passed by
+    # double-buffer parity luck. C=512/heads=4 covers hd=128.
+    for C, NH in ((64, 4), (256, 4), (512, 8), (512, 4)):
+        xw = jnp.asarray(rng.normal(size=(512, 9, C)).astype(np.float32))
         kw = dict(dim=C, window_size=(3, 3), num_heads=NH)
         plain = WindowAttention(use_pallas=False, **kw)
         blockm = WindowAttention(use_pallas=True, use_pallas_block=True, **kw)
