@@ -437,7 +437,8 @@ class Augmenter:
                 bits.append(_bernoulli(kgate, p))
         return jnp.stack(bits)
 
-    def random(self, key, time_loc_inputs, return_aug_id=False, return_aug_mods=False):
+    def random(self, key, time_loc_inputs, return_aug_id=False, return_aug_mods=False,
+               force_aug_id=None):
         """One random augmenter from the combined pool, in its domain
         (reference: Augmenter.py:76-113), selected on device via lax.switch.
         With return_aug_id, also returns the per-sample augmenter-id labels
@@ -447,11 +448,19 @@ class Augmenter:
         perturbed (reference: Augmenter.py:107-108 + the aug_mod_labels each
         augmenter builds, e.g. JitterAugmenter.py:27-47). Column order is
         SORTED (loc, mod) — the jax pytree-canonical dict order, which is
-        the order the switch branches enumerate."""
+        the order the switch branches enumerate.
+
+        force_aug_id overrides the on-device selection with an externally
+        drawn augmenter index (traced int in [0, n_time+n_freq)) — the
+        -py_aug_draws attribution arm feeds host Python-random draws here;
+        the augmenter's internal randomness still comes from ``key``."""
         k_sel, k_aug = jax.random.split(key)
         n_time = len(self.time_aug_names)
         n_freq = len(self.freq_aug_names)
-        aug_id = jax.random.randint(k_sel, (), 0, n_time + n_freq)
+        if force_aug_id is None:
+            aug_id = jax.random.randint(k_sel, (), 0, n_time + n_freq)
+        else:
+            aug_id = jnp.asarray(force_aug_id, jnp.int32)
 
         # time stage: branch per time augmenter + identity (freq aug chosen)
         time_branches = [

@@ -191,6 +191,23 @@ def build_parser():
         "BatchNorm statistics) instead of one fused [2B] batch.",
     )
     parser.add_argument(
+        "-py_aug_draws",
+        action="store_true",
+        help="Attribution arm: draw each pretrain batch's random-augmenter "
+        "selection on the host with Python random (the stream shape of the "
+        "reference's np.random.randint at Augmenter.py:83) instead of the "
+        "on-device keyed PRNG. Pretrain only; augmenter-internal draws stay "
+        "keyed (identical distributions).",
+    )
+    parser.add_argument(
+        "-ragged_tail",
+        action="store_true",
+        help="Attribution arm: run the final PARTIAL batch of each pretrain "
+        "epoch like the reference sampler (BatchSeqSampler yields the ragged "
+        "tail as a small extra contrastive step, "
+        "multi_modal_dataloader.py:66-77) instead of dropping it.",
+    )
+    parser.add_argument(
         "-knn_backend",
         type=str,
         default="sklearn",

@@ -480,6 +480,37 @@ def pretrain(args):
         if run.data_layout == "sharded"
         else (train_ds.num_subseqs if run.train_loader.sequence else len(train_ds))
     )
+    # attribution arms (-py_aug_draws / -ragged_tail): narrow by design —
+    # replicated single-mesh layout, no accumulation, no streaming
+    py_draws = bool(getattr(args, "py_aug_draws", False))
+    ragged_tail = bool(getattr(args, "ragged_tail", False))
+    if (py_draws or ragged_tail) and (
+        run.streaming or run.data_layout == "sharded" or grad_accum > 1
+    ):
+        raise ValueError(
+            "-py_aug_draws/-ragged_tail are attribution arms for the "
+            "replicated single-step layout (no streaming/sharded/grad_accum)"
+        )
+    aug_id_table = None
+    if py_draws:
+        import random as py_random
+
+        seq_len = args.dataset_config["seq_len"] if run.train_loader.sequence else 1
+        per = max(1, run.train_loader.batch_size // seq_len)
+        steps = max(1, n_items // per)
+        cols = steps + (1 if ragged_tail and n_items % per else 0)
+        n_augs = len(run.augmenter.time_aug_names) + len(run.augmenter.freq_aug_names)
+        draws = py_random.Random(args.seed)
+        aug_id_table = np.asarray(
+            [[[draws.randrange(n_augs) for _ in range(2)] for _ in range(cols)]
+             for _ in range(train_epochs)],
+            dtype=np.int32,
+        )
+        logging.info(
+            f"= -py_aug_draws: host Python-random augmenter selection table "
+            f"[{train_epochs}, {cols}, 2] over {n_augs} augmenters"
+        )
+
     if run.streaming:
         from focal_tpu.data import streaming as strm
 
@@ -512,6 +543,8 @@ def pretrain(args):
             state_shardings=state_sh,
             grad_accum=grad_accum,
             accum_gather=accum_gather,
+            aug_id_table=aug_id_table,
+            ragged_tail=ragged_tail,
         )
     loss_fn = dist.sync_first_call(
         ev.make_batched_pretrain_loss(run.model, run.augmenter, focal_loss, run.mesh_plan,

@@ -229,7 +229,8 @@ def _shard_batch(batch, mesh_plan):
 def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
                            subseq_idx=None, mesh_plan=None, fused_views=True,
                            epochs_per_call=1, data_layout="replicated",
-                           state_shardings=None, grad_accum=1, accum_gather=True):
+                           state_shardings=None, grad_accum=1, accum_gather=True,
+                           aug_id_table=None, ragged_tail=False):
     """One jitted call per `epochs_per_call` EPOCHS: on-device shuffles + a
     nested lax.scan over (epochs, steps).
 
@@ -269,6 +270,17 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
     accum_gather=False: per-micro-batch losses, plain MultiSteps averaging
     (negatives stay per-micro-batch).
 
+    aug_id_table (attribution arm -py_aug_draws): int32 [epochs, steps, 2] of
+    host-drawn augmenter indices; step (epoch, i) applies table[epoch, i, v]
+    to view v instead of the keyed on-device draw.
+
+    ragged_tail (attribution arm -ragged_tail): after the full-batch steps,
+    run ONE extra update on the epoch permutation's leftover n_items % per
+    units — the reference's BatchSeqSampler yields this partial batch
+    (multi_modal_dataloader.py:66-77); the default here drops it (static
+    shapes). The tail step is a second static shape, so it compiles once.
+    Replicated layout + grad_accum=1 only.
+
     Returns run(state, data, rng) -> (state, mean_loss over the block).
     """
     if subseq_idx is not None:
@@ -301,8 +313,16 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
             f"-grad_accum {grad_accum} exceeds the {steps_per_epoch} steps per "
             "epoch; lower -grad_accum or -batch_size"
         )
+    tail_units = 0 if sharded else n_items % per
+    if ragged_tail and (sharded or grad_accum > 1):
+        raise ValueError("-ragged_tail supports the replicated layout with grad_accum=1 only")
+    tail_active = ragged_tail and tail_units > 0
     eff_steps_per_epoch = steps_per_epoch // grad_accum if gathered_accum else steps_per_epoch
+    # state.step advances once per update; with the tail step each epoch makes
+    # one extra update, so the epoch derivation divides by the larger count
+    updates_per_epoch = eff_steps_per_epoch + (1 if tail_active else 0)
     fuse_views, split_views = make_view_fuser(mesh_plan, per * seq_len, seq_len)
+    aug_table = None if aug_id_table is None else jnp.asarray(aug_id_table, jnp.int32)
 
     def micro_batch(data, subseq_rows, perm, i):
         """Gather micro-step i's batch + derive its two augmented views'
@@ -317,11 +337,18 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
             idx = sel
         return _shard_batch(gather_batch(data, idx), mesh_plan)
 
-    def micro_views(data, subseq_rows, perm, step_rng, i):
+    def micro_views(data, subseq_rows, perm, step_rng, i, epoch=None):
         batch = micro_batch(data, subseq_rows, perm, i)
+        return _views_of(batch, step_rng, i, epoch)
+
+    def _views_of(batch, step_rng, i, epoch):
         rng_v1, rng_v2, rng_drop = jax.random.split(jax.random.fold_in(step_rng, i), 3)
-        view1 = augmenter.random(rng_v1, batch)
-        view2 = augmenter.random(rng_v2, batch)
+        a1 = a2 = None
+        if aug_table is not None:
+            ids = aug_table[epoch, i]
+            a1, a2 = ids[0], ids[1]
+        view1 = augmenter.random(rng_v1, batch, force_aug_id=a1)
+        view2 = augmenter.random(rng_v2, batch, force_aug_id=a2)
         return view1, view2, rng_drop
 
     def micro_features(params, batch_stats, view1, view2, rng_drop):
@@ -342,14 +369,14 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
                                   jax.random.fold_in(rng_drop, 1), "proj")
         return f1, f2, stats2
 
-    def accum_body(state, e, data, subseq_rows, perm, step_rng):
+    def accum_body(state, e, data, subseq_rows, perm, step_rng, epoch=None):
         """One EFFECTIVE step: gather features over grad_accum micro-batches,
         one concatenated FOCAL loss, vjp recompute, one update."""
         micro_ids = e * grad_accum + jnp.arange(grad_accum)
 
         # ---- pass 1: features only (activations freed per micro-batch)
         def collect(stats, i):
-            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i)
+            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i, epoch)
             f1, f2, new_stats = micro_features(state.params, stats, view1, view2, rng_drop)
             return new_stats, (f1, f2)
 
@@ -370,7 +397,7 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         # feature cotangents back into param grads, sum
         def backprop(acc, args_i):
             i, gf1, gf2 = args_i
-            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i)
+            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i, epoch)
 
             def fwd(params):
                 f1, f2, _ = micro_features(params, state.batch_stats, view1, view2, rng_drop)
@@ -385,10 +412,43 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         new_state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
         return new_state, loss
 
+    def _tail_step(state, data, subseq_rows, perm, step_rng, epoch):
+        """The reference sampler's ragged final batch: one update on the
+        permutation's leftover tail_units subsequences (a SMALLER static
+        shape — contrastive negatives only span this partial batch, exactly
+        like the reference's BatchSeqSampler tail)."""
+        sel = jax.lax.dynamic_slice(perm, (steps_per_epoch * per,), (tail_units,))
+        if subseq_rows is not None:
+            idx = jnp.take(subseq_rows, sel, axis=0).reshape(-1)
+        else:
+            idx = sel
+        batch = _shard_batch(gather_batch(data, idx), mesh_plan)
+        view1, view2, rng_drop = _views_of(batch, step_rng, steps_per_epoch, epoch)
+        tfuse, tsplit = make_view_fuser(mesh_plan, tail_units * seq_len, seq_len)
+
+        def loss_fn(params):
+            from types import SimpleNamespace
+
+            st = SimpleNamespace(params=params, batch_stats=state.batch_stats)
+            if fused_views:
+                both = tfuse(view1, view2)
+                feats, new_stats = _apply_train(model, st, both, rng_drop, "proj")
+                f1, f2 = tsplit(feats)
+            else:
+                f1, stats1 = _apply_train(model, st, view1, rng_drop, "proj")
+                st2 = SimpleNamespace(params=params, batch_stats=stats1)
+                f2, new_stats = _apply_train(model, st2, view2,
+                                             jax.random.fold_in(rng_drop, 1), "proj")
+            loss, _ = focal_loss(f1, f2)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads).replace(batch_stats=new_stats), loss
+
     def one_epoch(state, data, subseq_rows, rng):
         # epoch index derives from the optimizer step counter: no per-call
         # host scalar crosses the tunnel
-        epoch = state.step // eff_steps_per_epoch
+        epoch = state.step // updates_per_epoch
         perm_rng, step_rng = jax.random.split(jax.random.fold_in(rng, epoch))
         if sharded:
             seeds = jax.random.randint(
@@ -400,13 +460,13 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
 
         if gathered_accum:
             def eff_body(state, e):
-                return accum_body(state, e, data, subseq_rows, perm, step_rng)
+                return accum_body(state, e, data, subseq_rows, perm, step_rng, epoch)
 
             state, losses = jax.lax.scan(eff_body, state, jnp.arange(eff_steps_per_epoch))
             return state, jnp.mean(losses)
 
         def body(state, i):
-            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i)
+            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i, epoch)
 
             def loss_fn(params):
                 f1, f2, new_stats = micro_features(params, state.batch_stats, view1, view2, rng_drop)
@@ -418,6 +478,11 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
             return new_state, loss
 
         state, losses = jax.lax.scan(body, state, jnp.arange(steps_per_epoch))
+        if tail_active:
+            state, tail_loss = _tail_step(state, data, subseq_rows, perm, step_rng, epoch)
+            # mean over ALL updates, weighting the tail like any other step
+            # (it is one update of updates_per_epoch)
+            return state, (jnp.sum(losses) + tail_loss) / updates_per_epoch
         return state, jnp.mean(losses)
 
     def epoch_fn(state, data, subseq_rows, rng):
@@ -464,7 +529,7 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
     run.windows_per_epoch = (
         eff_steps_per_epoch * grad_accum * per * seq_len if gathered_accum
         else steps_per_epoch * per * seq_len
-    )
+    ) + (tail_units * seq_len if tail_active else 0)
     return run
 
 

@@ -1,4 +1,4 @@
-"""Attribute the focal_tpu-vs-reference quality gap (VERDICT round-3 item 2).
+"""Attribute the focal_tpu-vs-reference quality gap (VERDICT items r3-2, r4-1).
 
 Round 3's non-saturating A/B (noise 3.0) measured focal_tpu at 0.85 +- 0.06
 test acc vs the reference's own training at 0.49 +- 0.01 on identical
@@ -12,18 +12,33 @@ one deviation at a time and finds which one(s) produce the gap:
                    uniform GRU / uniform linear, imported via
                    utils/torch_import) instead of flax defaults
                    (lecun_normal convs / orthogonal GRU)
+  arm `init_conv`  torch init for the CONV TOWERS only (flax elsewhere)
+  arm `init_gru`   torch init for the GRUs only
+  arm `init_proj`  torch init for the projector MLPs only
   arm `ref_lr`     focal_tpu with -ref_lr_timing (epoch e trains at lr(e-1),
                    the reference loop's epoch-END timm stepping)
   arm `both`       torch_init + ref_lr
+  arm `py_draws`   -py_aug_draws: per-batch augmenter selection drawn on the
+                   host with Python random (the reference's np.random stream
+                   shape, Augmenter.py:83) instead of the keyed on-device PRNG
+  arm `ragged_tail` -ragged_tail: train on each epoch's final PARTIAL batch
+                   like the reference BatchSeqSampler (its tail yields a
+                   degenerate few-negative contrastive update per epoch,
+                   multi_modal_dataloader.py:66-77); focal_tpu default drops it
 
-All arms run on CPU in float32 — the same platform the round-3 A/B used, so
-bf16 is already excluded as a candidate there. Multi-seed. Results append to
-artifacts/attribution_ab.json.
+Platform: --platform cpu runs f32 on CPU (the round-3 setup); --platform tpu
+runs f32 on the tunneled TPU backend (the round-4+ setup — CPU arms timed out
+at 4h under this host's 1-core contention; bf16 was already excluded as a
+factor by the round-3 CPU-f32 control). Attribution compares focal-vs-focal,
+so only within-experiment platform consistency matters; each result records
+the backend the child process ACTUALLY initialised (parsed from its log).
+Multi-seed. Results append to artifacts/attribution_ab.json.
 
 Usage:
   python tools/make_parity_dataset.py --out /tmp/attr_n3 --samples 384 --noise 3.0
-  python tools/run_attribution_ab.py --dir /tmp/attr_n3 --seeds 1 2 \
-      --arms control torch_init ref_lr both
+  python tools/run_attribution_ab.py --dir /tmp/attr_n3 --seeds 1 2 3 \
+      --arms control torch_init ref_lr both init_conv init_gru init_proj \
+             py_draws ragged_tail --platform tpu
 """
 
 import argparse
@@ -62,6 +77,13 @@ def parse_metrics(log_path):
     }
 
 
+def parse_backend(log_path):
+    """The backend the child ACTUALLY initialised (train.py logs it) —
+    guards against a requested platform silently falling back elsewhere."""
+    m = re.search(r"= Backend: (\S+)", open(log_path).read())
+    return m.group(1) if m else None
+
+
 def knn_plateau(log_path):
     """Max pretrain-probe val acc over the last half of the run."""
     vals = [float(m) for m in re.findall(r"[Vv]al acc:\s*([0-9.]+)", open(log_path).read())]
@@ -71,13 +93,28 @@ def knn_plateau(log_path):
     return max(half)
 
 
-def make_torch_init_checkpoint(recipe, out_dir, torch_seed):
+# top-level param-tree key prefixes per init sub-component (DeepSense;
+# models/deepsense.py setup() names)
+INIT_COMPONENTS = {
+    "conv": ("loc_mod_extractor_", "mod_extractor_"),
+    "gru": ("recurrent_",),
+    "proj": ("mod_projector_",),
+}
+
+
+def make_torch_init_checkpoint(recipe, out_dir, torch_seed, components=None):
     """Reference-initialised DeepSense -> flax params checkpoint.
 
     Builds the reference's own model class (torch default inits: conv
     kaiming_uniform(a=sqrt(5)), GRU/Linear U(-1/sqrt(f), 1/sqrt(f))), then
     maps the state_dict into this framework's param tree via the certified
-    torch importer (utils/torch_import, <=1e-4 forward parity)."""
+    torch importer (utils/torch_import, <=1e-4 forward parity).
+
+    components=None replaces the WHOLE tree (the `torch_init` arm). A list of
+    INIT_COMPONENTS keys replaces only those top-level subtrees, keeping the
+    flax init — drawn from jax.random.key(torch_seed), i.e. bit-identical to
+    what the control arm's training run initialises at -seed torch_seed —
+    everywhere else, so each sub-arm isolates one component's init."""
     import types
 
     import torch
@@ -126,10 +163,25 @@ def make_torch_init_checkpoint(recipe, out_dir, torch_seed):
             for m in cfg["modality_names"]
         }
     })
-    state = init_state(args, model, sample, optax.identity(), jax.random.key(0))
+    # key(torch_seed): the flax baseline must equal the control run's own
+    # init at -seed torch_seed (loops._epoch_rng), so selective arms replace
+    # ONLY the named component relative to control
+    state = init_state(args, model, sample, optax.identity(), jax.random.key(torch_seed))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     params, stats = import_deepsense_state_dict(sd, variables, cfg)
-    path = os.path.join(out_dir, f"torch_init_s{torch_seed}")
+    suffix = "" if components is None else "_" + "_".join(sorted(components))
+    if components is not None:
+        prefixes = tuple(p for c in components for p in INIT_COMPONENTS[c])
+
+        def merge(flax_tree, torch_tree):
+            return {
+                k: (torch_tree[k] if k.startswith(prefixes) else flax_tree[k])
+                for k in flax_tree
+            }
+
+        params = merge(dict(state.params), dict(params))
+        stats = merge(dict(state.batch_stats), dict(stats))
+    path = os.path.join(out_dir, f"torch_init_s{torch_seed}{suffix}")
     ckpt.save_params(path, params, stats)
     return path
 
@@ -137,8 +189,13 @@ def make_torch_init_checkpoint(recipe, out_dir, torch_seed):
 ARM_FLAGS = {
     "control": [],
     "torch_init": ["@init"],
+    "init_conv": ["@init:conv"],
+    "init_gru": ["@init:gru"],
+    "init_proj": ["@init:proj"],
     "ref_lr": ["-ref_lr_timing"],
     "both": ["@init", "-ref_lr_timing"],
+    "py_draws": ["-py_aug_draws"],
+    "ragged_tail": ["-ragged_tail"],
 }
 
 
@@ -174,20 +231,25 @@ def main():
         env.pop("JAX_PLATFORMS", None)
 
     for seed in a.seeds:
-        init_path = None
+        init_paths = {}
         for arm in a.arms:
             key = f"{arm}_s{seed}" + ("" if a.platform == "cpu" else f"_{a.platform}")
             if key in results:
                 print(f"skip {key} (already done)", flush=True)
                 continue
             flags = list(ARM_FLAGS[arm])
-            if "@init" in flags:
-                flags.remove("@init")
-                if init_path is None:
-                    init_path = make_torch_init_checkpoint(recipe, d, seed)
-                init_flags = ["-init_weight", init_path]
-            else:
-                init_flags = []
+            init_flags = []
+            for f in list(flags):
+                if not f.startswith("@init"):
+                    continue
+                flags.remove(f)
+                components = None if f == "@init" else [f.split(":", 1)[1]]
+                ckey = "full" if components is None else components[0]
+                if ckey not in init_paths:
+                    init_paths[ckey] = make_torch_init_checkpoint(
+                        recipe, d, seed, components=components
+                    )
+                init_flags = ["-init_weight", init_paths[ckey]]
             out = os.path.join(d, f"focal_{key}")
             base = [sys.executable, os.path.join(REPO, "train.py"), "-model=DeepSense",
                     "-learn_framework=FOCAL", "-dataset_config", recipe,
@@ -201,10 +263,12 @@ def main():
                 **parse_metrics(ft_log),
                 "knn_plateau": knn_plateau(pre_log),
                 "pretrain_s": round(t_pre, 1), "finetune_s": round(t_ft, 1),
+                "backend": parse_backend(pre_log),
             }
             os.makedirs(os.path.dirname(results_path), exist_ok=True)
             with open(results_path, "w") as f:
                 json.dump(results, f, indent=2)
+                f.write("\n")
             print(json.dumps({key: results[key]}), flush=True)
 
     print("\n| Arm | KNN plateau | best val acc | test acc | test F1 |")

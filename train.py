@@ -39,9 +39,18 @@ def train(args):
 
 def main_train():
     args = parse_train_params()
+    import jax
+
     logging.info(
         f"= Run: dataset={args.dataset} model={args.model} framework={args.learn_framework} "
         f"stage={args.stage} mode={args.train_mode} task={args.task} batch={args.batch_size}"
+    )
+    # recorded so experiment harnesses can verify which backend actually ran
+    # (a '-platform tpu' request silently falling back to CPU would otherwise
+    # be invisible in the logs)
+    logging.info(
+        f"= Backend: {jax.default_backend()} ({len(jax.devices())} device(s), "
+        f"{jax.devices()[0].device_kind})"
     )
     train(args)
 
