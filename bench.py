@@ -221,6 +221,11 @@ def bench_jax(model_name):
     perf = {
         "pass_windows_per_sec": [round(BATCH * STEPS / p / n_chips, 2) for p in passes],
         "warmup_steps": len(warm_times),
+        # machine-visible droop marker (BENCH_r04 pass 3 ran 25% slow): any
+        # timed pass >1.5x the best one is flagged so scoreboard variance is
+        # auditable without re-deriving it from the pass list
+        "slow_passes": [i for i, p in enumerate(passes) if p > 1.5 * min(passes)],
+        "pass_spread": round(max(passes) / min(passes), 4),
     }
     if flops_per_step:
         perf["flops_source"] = flops_source
@@ -370,6 +375,9 @@ def main():
             line["flops_source"] = perf["flops_source"]
         line["pass_windows_per_sec"] = perf.get("pass_windows_per_sec")
         line["warmup_steps"] = perf.get("warmup_steps")
+        line["pass_spread"] = perf.get("pass_spread")
+        if perf.get("slow_passes"):
+            line["slow_passes"] = perf["slow_passes"]
         print(json.dumps(line))
 
 

@@ -109,17 +109,25 @@ class StreamingEpochFn:
 
     def __init__(self, *, host_data, host_labels, n_units, per, unit_rows,
                  make_block_fn, seed, block_steps=BLOCK_STEPS, mesh_plan=None,
-                 samples_per_unit=1):
+                 samples_per_unit=1, micro_per_update=1):
         # unit_rows: [n_units, samples_per_unit] sample rows per shuffle unit
-        # (subsequences for FOCAL pretrain, single samples otherwise)
+        # (subsequences for FOCAL pretrain, single samples otherwise).
+        # micro_per_update > 1 = gathered grad accumulation: block sizes and
+        # steps_per_epoch count EFFECTIVE updates; each effective step
+        # consumes micro_per_update batch rows of the streamed block (the
+        # ragged micro tail of the epoch is dropped, like the device-resident
+        # accum path).
         self.n_units = n_units
         self.per = per
         self.unit_rows = unit_rows
         self.seed = seed
-        self.steps_per_epoch = max(1, n_units // per)
+        self.mpu = micro_per_update
+        self.steps_per_epoch = max(1, (n_units // per) // micro_per_update)
         self.epochs_per_call = 1
-        self.windows_per_epoch = self.steps_per_epoch * per * samples_per_unit
-        k = min(block_steps, self.steps_per_epoch)
+        self.windows_per_epoch = (
+            self.steps_per_epoch * micro_per_update * per * samples_per_unit
+        )
+        k = min(max(1, block_steps // micro_per_update), self.steps_per_epoch)
         self._k_main = k
         self._n_full = self.steps_per_epoch // k
         rem = self.steps_per_epoch - self._n_full * k
@@ -134,8 +142,9 @@ class StreamingEpochFn:
         return [self._k_main] * self._n_full + ([self._k_rem] if self._k_rem else [])
 
     def _rows(self, perm, step0, k):
-        sel = perm[step0 * self.per : (step0 + k) * self.per]
-        rows = self.unit_rows[sel].reshape(k, -1)  # [k, per*samples_per_unit]
+        m = self.per * self.mpu
+        sel = perm[step0 * m : (step0 + k) * m]
+        rows = self.unit_rows[sel].reshape(k * self.mpu, -1)  # [micro, per*spu]
         return rows
 
     def __call__(self, state, _data, *rest):
@@ -174,10 +183,30 @@ class StreamingEpochFn:
 
 def make_streaming_pretrain_fn(model, augmenter, focal_loss, *, host_data, n_units,
                                batch_size, subseq_idx, mesh_plan, fused_views,
-                               seed, block_steps=BLOCK_STEPS):
+                               seed, block_steps=BLOCK_STEPS, grad_accum=1,
+                               accum_gather=True, state_shardings=None):
     """Streaming variant of make_pretrain_epoch_fn. host_data holds numpy
-    arrays; blocks of K steps are shipped as [K, B, ...]."""
-    from focal_tpu.train.steps import _apply_train, _shard_batch, make_view_fuser
+    arrays; blocks of K steps are shipped as [K, B, ...].
+
+    grad_accum > 1 with accum_gather (the default) runs the same exact
+    GradCache two-pass as the device-resident path (steps.
+    gathered_accum_update): the streamed block holds every micro-batch an
+    effective step needs, so pass 2's recompute indexes the block again —
+    contrastive negatives span the effective batch. Block sizes are counted
+    in effective steps; the epoch's ragged micro tail is dropped (same rule
+    as the device-resident accum path). accum_gather=False leaves per-micro
+    MultiSteps to the optimizer.
+
+    state_shardings: TP layout tree (parallel/tp.py) — streaming is
+    batch-axis work, orthogonal to model-sharded weights; blocks shard
+    P(None, 'data') over the 2-D mesh and replicate over ``model``."""
+    from focal_tpu.train.steps import (
+        _apply_train,
+        _shard_batch,
+        gathered_accum_update,
+        make_micro_features,
+        make_view_fuser,
+    )
 
     if subseq_idx is not None:
         seq_len = subseq_idx.shape[1]
@@ -189,63 +218,73 @@ def make_streaming_pretrain_fn(model, augmenter, focal_loss, *, host_data, n_uni
         unit_rows = np.arange(n_units)[:, None]
     b = per * seq_len
     fuse_views, split_views = make_view_fuser(mesh_plan, b, seq_len)
+    ga = grad_accum if (grad_accum > 1 and accum_gather) else 1
+    if ga > 1 and max(1, n_units // per) < ga:
+        raise ValueError(
+            f"-grad_accum {grad_accum} exceeds the {max(1, n_units // per)} "
+            "streamed steps per epoch; lower -grad_accum or -batch_size"
+        )
+    micro_features = make_micro_features(model, fuse_views, split_views, fused_views)
 
     def make_block_fn(k):
         def block(state, block_data, rng):
             base = jax.random.fold_in(rng, state.step)
 
-            def body(state, inp):
-                i, batch = inp
+            def views_of(i):
+                batch = jax.tree_util.tree_map(lambda a: jnp.take(a, i, axis=0), block_data)
                 batch = _shard_batch(batch, mesh_plan)
                 rng_v1, rng_v2, rng_drop = jax.random.split(
                     jax.random.fold_in(base, i), 3
                 )
-                view1 = augmenter.random(rng_v1, batch)
-                view2 = augmenter.random(rng_v2, batch)
+                return augmenter.random(rng_v1, batch), augmenter.random(rng_v2, batch), rng_drop
 
-                if fused_views:
-                    both = fuse_views(view1, view2)
+            if ga > 1:
+                def eff_body(state, e):
+                    micro_ids = e * ga + jnp.arange(ga)
+                    return gathered_accum_update(
+                        focal_loss, micro_features, views_of, state, micro_ids
+                    )
 
-                    def loss_fn(params):
-                        feats, new_stats = _apply_train(
-                            model, state.replace(params=params), both, rng_drop, "proj"
-                        )
-                        f1, f2 = split_views(feats)
-                        loss, _ = focal_loss(f1, f2)
-                        return loss, new_stats
+                state, losses = jax.lax.scan(eff_body, state, jnp.arange(k))
+                return state, jnp.mean(losses)
 
-                else:
+            def body(state, i):
+                view1, view2, rng_drop = views_of(i)
 
-                    def loss_fn(params):
-                        f1, s1 = _apply_train(model, state.replace(params=params), view1, rng_drop, "proj")
-                        st = state.replace(params=params, batch_stats=s1)
-                        f2, s2 = _apply_train(model, st, view2, jax.random.fold_in(rng_drop, 1), "proj")
-                        loss, _ = focal_loss(f1, f2)
-                        return loss, s2
+                def loss_fn(params):
+                    f1, f2, new_stats = micro_features(
+                        params, state.batch_stats, view1, view2, rng_drop
+                    )
+                    loss, _ = focal_loss(f1, f2)
+                    return loss, new_stats
 
                 (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
                 state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
                 return state, loss
 
-            state, losses = jax.lax.scan(body, state, (jnp.arange(k), block_data))
+            state, losses = jax.lax.scan(body, state, jnp.arange(k))
             return state, jnp.mean(losses)
 
         if mesh_plan is None:
             return jax.jit(block, donate_argnums=(0,))
         r = mesh_plan.replicated
         d = _batch_sharding(mesh_plan)
-        return jax.jit(block, in_shardings=(r, d, r), donate_argnums=(0,))
+        s = state_shardings if state_shardings is not None else r
+        return jax.jit(block, in_shardings=(s, d, r), out_shardings=(s, r),
+                       donate_argnums=(0,))
 
     return StreamingEpochFn(
         host_data=host_data, host_labels=None, n_units=n_units, per=per,
         unit_rows=unit_rows, make_block_fn=make_block_fn, seed=seed,
         block_steps=block_steps, mesh_plan=mesh_plan, samples_per_unit=seq_len,
+        micro_per_update=ga,
     )
 
 
 def make_streaming_classifier_fn(model, augmenter, *, host_data, host_labels,
                                  n_items, batch_size, fixed_aug, mesh_plan,
-                                 seed, block_steps=BLOCK_STEPS):
+                                 seed, block_steps=BLOCK_STEPS,
+                                 state_shardings=None):
     """Streaming variant of make_classifier_epoch_fn (supervised/finetune)."""
     from focal_tpu.train.losses import cross_entropy
     from focal_tpu.train.steps import _apply_train, _shard_batch
@@ -286,7 +325,9 @@ def make_streaming_classifier_fn(model, augmenter, *, host_data, host_labels,
             return jax.jit(block, donate_argnums=(0,))
         r = mesh_plan.replicated
         d = _batch_sharding(mesh_plan)
-        return jax.jit(block, in_shardings=(r, d, d, r), donate_argnums=(0,))
+        s = state_shardings if state_shardings is not None else r
+        return jax.jit(block, in_shardings=(s, d, d, r), out_shardings=(s, (r, r)),
+                       donate_argnums=(0,))
 
     return StreamingEpochFn(
         host_data=host_data, host_labels=np.asarray(host_labels), n_units=n_items,
@@ -296,7 +337,8 @@ def make_streaming_classifier_fn(model, augmenter, *, host_data, host_labels,
 
 
 def make_streaming_forward(model, augmenter, head, *, host_data, mesh_plan,
-                           batch_size, n_rows, block_steps=BLOCK_STEPS):
+                           batch_size, n_rows, block_steps=BLOCK_STEPS,
+                           state_shardings=None):
     """Streaming no-aug forward over a split for eval/KNN: returns
     fn(state) -> host outputs [n_batches, B, ...] covering rows 0..n_rows
     (tail padded by wrapping; callers mask with their weights)."""
@@ -321,7 +363,8 @@ def make_streaming_forward(model, augmenter, head, *, host_data, mesh_plan,
         if mesh_plan is None:
             return jax.jit(block)
         r = mesh_plan.replicated
-        return jax.jit(block, in_shardings=(r, _batch_sharding(mesh_plan)),
+        s = state_shardings if state_shardings is not None else r
+        return jax.jit(block, in_shardings=(s, _batch_sharding(mesh_plan)),
                        out_shardings=r)
 
     sizes = []

@@ -42,10 +42,16 @@ def build_backbone(args):
 
         # fused pallas attention: TPU only by default (the CPU interpreter is
         # slower than the XLA path; tests opt in via args.force_pallas). On a
-        # >1-device mesh the kernels run under shard_map over the data axis.
+        # >1-device mesh the kernels run under shard_map over the data axis;
+        # with model_parallel > 1 the whole-block kernel shard_maps over
+        # (data, model) with whole heads per model shard (swin.use_tp_block) —
+        # the attention-only and MLP kernels stay DP-only (their weights would
+        # need gathering under TP).
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        use_pallas = (on_tpu or bool(getattr(args, "force_pallas", False))) and mp == 1
-        plan = make_mesh_plan(getattr(args, "data_parallel", 0)) if use_pallas else None
+        use_pallas = on_tpu or bool(getattr(args, "force_pallas", False))
+        plan = (
+            make_mesh_plan(getattr(args, "data_parallel", 0), mp) if use_pallas else None
+        )
         return SWTransformer(
             dataset_config=args.dataset_config,
             task=args.task,
@@ -54,7 +60,7 @@ def build_backbone(args):
             use_pallas=use_pallas,
             use_pallas_block=use_pallas and not getattr(args, "no_pallas_block", False),
             # opt-in (-pallas_mlp): pays off only at wide dims (see SwinBlock)
-            use_pallas_mlp=use_pallas and bool(getattr(args, "pallas_mlp", False)),
+            use_pallas_mlp=use_pallas and bool(getattr(args, "pallas_mlp", False)) and mp == 1,
             pallas_mesh=None if plan is None else plan.mesh,
         )
     raise ValueError(f"Invalid model provided: {args.model}")

@@ -129,25 +129,78 @@ class WindowAttention(nn.Module):
         # [H, N, N, 128] (needs nW | 128) instead of a [B_, H, N, N] broadcast.
         dropout_active = train and self.attn_drop > 0.0
         mesh = self.pallas_mesh
-        n_shards = mesh.size if mesh is not None else 1
+        if mesh is not None and "model" in mesh.shape:
+            tp_ways = mesh.shape["model"]
+            dp_ways = mesh.shape.get("data", 1)
+        else:
+            tp_ways = 1
+            dp_ways = mesh.size if mesh is not None else 1
+        n_shards = dp_ways
         from focal_tpu.ops.pallas_kernels import _on_tpu
 
         # Gate conditions, in order: tiny-window kernel only; lane-periodic
-        # bias needs nW | 128; the window batch must shard evenly AND each
-        # shard's window count must stay a multiple of nW (the shift mask is
-        # applied by lane position — splitting a sample's windows across
-        # shards would pair masks with the wrong windows); the dropout
-        # kernels use the hardware PRNG, which has no interpreter fallback.
-        use_fused = (
+        # bias needs nW | 128; the window batch must shard evenly over the
+        # DATA axis AND each shard's window count must stay a multiple of nW
+        # (the shift mask is applied by lane position — splitting a sample's
+        # windows across shards would pair masks with the wrong windows); the
+        # dropout kernels use the hardware PRNG, which has no interpreter
+        # fallback.
+        fused_ok = (
             small_window
             and self.use_pallas
             and (mask is None or 128 % mask.shape[0] == 0)
-            and B_ % max(n_shards, 1) == 0
-            and (mask is None or (B_ // max(n_shards, 1)) % mask.shape[0] == 0)
+            and B_ % max(dp_ways, 1) == 0
+            and (mask is None or (B_ // max(dp_ways, 1)) % mask.shape[0] == 0)
             and (not dropout_active or _on_tpu())
         )
 
-        from focal_tpu.ops.pallas_kernels import wblock_fits_any
+        from focal_tpu.ops.pallas_kernels import wblock_fits_any, wblock_perhead_fits
+
+        # tensor parallelism: the PER-HEAD whole-block kernel shard_maps over
+        # (data, model) with whole heads per model shard — the same head unit
+        # parallel/tp.py shards the qkv/proj/bias params by, so each shard
+        # consumes its resident weights with zero resharding. Geometries the
+        # per-head grid can't hold (or head counts that don't divide) fall
+        # back to the XLA attention path under GSPMD.
+        use_tp_block = (
+            fused_ok
+            and tp_ways > 1
+            and self.use_pallas_block
+            and self.num_heads % tp_ways == 0
+            and wblock_perhead_fits(N, C, self.num_heads)
+        )
+        use_fused = fused_ok and tp_ways == 1
+
+        if use_tp_block:
+            from focal_tpu.ops.pallas_kernels import (
+                expand_bias_lanes,
+                sharded_window_block_tp,
+            )
+
+            wqkv_r, bqkv_r = _DenseParams(
+                C, 3 * C, use_bias=self.qkv_bias, name="qkv",
+                features=(3, self.num_heads, head_dim), raw=True,
+            )()
+            wproj, bproj = _DenseParams(C, C, name="proj")()
+            # fold the q scaling into the weights on the PART axis (the raw
+            # [C, 3, H, hd] layout keeps head sharding intact)
+            scale_part = jnp.asarray([scale, 1.0, 1.0], jnp.float32)
+            wqkv_s = (wqkv_r * scale_part[None, :, None, None]).astype(self.dtype)
+            bqkv_s = (bqkv_r * scale_part[:, None, None]).astype(jnp.float32)
+            bias_l = expand_bias_lanes(bias.astype(jnp.float32), mask)
+            xb = x.astype(self.dtype)
+            seed = None
+            if dropout_active:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+            out = sharded_window_block_tp(
+                mesh, xb, wqkv_s, bqkv_s, wproj.astype(self.dtype),
+                bproj.astype(jnp.float32), bias_l, seed=seed,
+                rate=float(self.attn_drop),
+            )
+            return _remat_drop(self, out.astype(self.dtype), self.proj_drop, train)
 
         if use_fused and self.use_pallas_block and wblock_fits_any(N, C, self.num_heads):
             # whole-block kernel: qkv projection + attention + output
@@ -303,6 +356,11 @@ class _DenseParams(nn.Module):
     out_dim: int
     use_bias: bool = True
     features: Any = None
+    # raw=True returns the stored multi-dim layout unflattened — the tensor-
+    # parallel kernel path consumes [C, 3, H, hd] directly; flattening a
+    # head-sharded param to [C, 3C] interleaves heads across the fused column
+    # order and would force GSPMD to all-gather it
+    raw: bool = False
 
     @nn.compact
     def __call__(self):
@@ -314,11 +372,15 @@ class _DenseParams(nn.Module):
             kshape = (self.in_dim, self.out_dim)
             bshape = (self.out_dim,)
             init = nn.initializers.lecun_normal()
-        k = self.param("kernel", init, kshape).reshape(self.in_dim, self.out_dim)
+        k = self.param("kernel", init, kshape)
+        if not self.raw:
+            k = k.reshape(self.in_dim, self.out_dim)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros_init(), bshape).reshape(self.out_dim)
+            b = self.param("bias", nn.initializers.zeros_init(), bshape)
+            if not self.raw:
+                b = b.reshape(self.out_dim)
         else:
-            b = jnp.zeros((self.out_dim,), jnp.float32)
+            b = jnp.zeros(bshape if self.raw else (self.out_dim,), jnp.float32)
         return k, b
 
 

@@ -1288,26 +1288,28 @@ def _ph_specs(N, C, hd, tile):
     }
 
 
-def _ph_weights(wqkv, bqkv, H):
-    """Fused [C, 3C] (column order part|head|dim) -> head-leading
-    [H, 3, C, hd] weights and [H, 3, 1, hd] biases."""
+def _ph_weights(wqkv, bqkv, H, hd=None):
+    """Fused [C, 3C'] (column order part|head|dim) -> head-leading
+    [H, 3, C, hd] weights and [H, 3, 1, hd] biases. C' = H*hd; under tensor
+    parallelism H counts only the shard's LOCAL heads (C' < C), so hd must be
+    passed explicitly there."""
     C = wqkv.shape[0]
-    hd = C // H
+    hd = hd or C // H
     w3 = wqkv.reshape(C, 3, H, hd).transpose(2, 1, 0, 3)
     bq3 = bqkv.reshape(3, H, hd).transpose(1, 0, 2)[:, :, None, :]
     return w3, bq3
 
 
 def _wblock_ph_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0,
-                        want_mask=False):
+                        want_mask=False, head_dim=None):
     B, N, C = x.shape
     H = bias_l.shape[0]
-    hd = C // H
+    hd = head_dim or C // H
     cdt = _wblock_compute_dtype(C, x.dtype)
     tile = _block_tile_perhead(N, C, hd, B, 2 if cdt == jnp.bfloat16 else 4)
     out_dtype = x.dtype
     x, wqkv, wproj = x.astype(cdt), wqkv.astype(cdt), wproj.astype(cdt)
-    w3, bq3 = _ph_weights(wqkv, bqkv, H)
+    w3, bq3 = _ph_weights(wqkv, bqkv, H, hd)
     xt = _to_ncb(x, tile)
     Bp = xt.shape[-1]
     grid = (Bp // tile, H)
@@ -1337,16 +1339,17 @@ def _wblock_ph_fwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0
     return outs.transpose(2, 0, 1)[:B].astype(out_dtype)
 
 
-def _wblock_ph_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate=0.0):
+def _wblock_ph_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate=0.0,
+                        head_dim=None):
     B, N, C = x.shape
     H = bias_l.shape[0]
-    hd = C // H
+    hd = head_dim or C // H
     cdt = _wblock_compute_dtype(C, x.dtype)
     tile = _block_tile_perhead(N, C, hd, B, 2 if cdt == jnp.bfloat16 else 4)
     out_dtype = x.dtype
     dbproj = dy.astype(jnp.float32).sum(axis=(0, 1))  # padded lanes excluded here
     x, wqkv, wproj, dy = (a.astype(cdt) for a in (x, wqkv, wproj, dy))
-    w3, bq3 = _ph_weights(wqkv, bqkv, H)
+    w3, bq3 = _ph_weights(wqkv, bqkv, H, hd)
     xt = _to_ncb(x, tile)
     dyt = _to_ncb(dy, tile)
     Bp = xt.shape[-1]
@@ -1361,7 +1364,7 @@ def _wblock_ph_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate
         jax.ShapeDtypeStruct((N, C, Bp), jnp.float32),       # dx
         jax.ShapeDtypeStruct((H, 3, C, hd), jnp.float32),    # dw3 (head-leading)
         jax.ShapeDtypeStruct((H, 3, 1, hd), jnp.float32),    # dbq3
-        jax.ShapeDtypeStruct((C, C), jnp.float32),           # dwproj
+        jax.ShapeDtypeStruct((H * hd, C), jnp.float32),      # dwproj (== [C, C] off-TP)
         jax.ShapeDtypeStruct(bias_l.shape, jnp.float32),     # dbias
     )
     out_specs = (
@@ -1391,9 +1394,9 @@ def _wblock_ph_bwd_impl(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask=None, rate
         interpret=not _on_tpu(),
     )(*operands)
     dx = dx_t.transpose(2, 0, 1)[:B].astype(out_dtype)
-    # [H, 3, C, hd] -> fused [C, 3C] (column order part|head|dim)
-    dwqkv = dw3.transpose(2, 1, 0, 3).reshape(C, 3 * C)
-    dbqkv = dbq3.transpose(1, 0, 2, 3).reshape(-1)  # [3C], q | k | v order
+    # [H, 3, C, hd] -> fused [C, 3*H*hd] (column order part|head|dim)
+    dwqkv = dw3.transpose(2, 1, 0, 3).reshape(C, -1)
+    dbqkv = dbq3.transpose(1, 0, 2, 3).reshape(-1)  # [3*H*hd], q | k | v order
     return dx, dwqkv, dbqkv, dwproj, dbproj, dbias
 
 
@@ -1621,6 +1624,148 @@ def sharded_window_block(mesh, x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, r
     if seed is None:
         return _sharded_wblock_op(mesh, 0.0, False)(x, wqkv, bqkv, wproj, bproj, bias_l)
     return _sharded_wblock_op(mesh, float(rate), True)(x, wqkv, bqkv, wproj, bproj, bias_l, seed)
+
+
+def _sharded_wblock_tp_op(mesh, rate, with_dropout, head_dim):
+    """The PER-HEAD whole-block kernel under shard_map over (``data``,
+    ``model``): window-batch shards over ``data``, WHOLE HEADS over ``model``
+    — exactly the TP layout parallel/tp.py assigns the qkv/proj/bias params
+    ([C, 3, H, hd] on axis 2, proj rows, bias-table heads), so the kernel
+    consumes each shard's resident weights with zero resharding.
+
+    Per (data, model) shard: project q/k/v for the LOCAL heads, attention,
+    and the output projection's LOCAL head-rows — a partial [B_loc, N, C]
+    that one psum over ``model`` completes (row-parallel matmul; bproj is
+    added by model-rank 0 only so the sum applies it once). Backward: dx
+    psums over ``model``; dwqkv/dbqkv/dwproj/dbias are head-local and psum
+    over ``data`` only; dbproj is identical on every model rank (computed
+    from the replicated dy) and psums over ``data``.
+
+    Weights arrive UNFUSED ([C, 3, H, hd] / [3, H, hd]) — fusing to
+    [C, 3C] outside would interleave heads across the column order and force
+    GSPMD to all-gather; each shard fuses its local slice instead."""
+    data, repl = P("data"), P()
+    xs = P("data")
+    wqkv_s = P(None, None, "model", None)
+    bqkv_s = P(None, "model", None)
+    wproj_s = P("model", None)
+    bias_s = P("model")
+    mask_s = P("model", None, None, "data")
+
+    def _fuse_local(wqkv, bqkv):
+        C = wqkv.shape[0]
+        return wqkv.reshape(C, -1), bqkv.reshape(-1)
+
+    def _bp_local(bproj):
+        # applied once across the model psum
+        return jnp.where(jax.lax.axis_index("model") == 0, bproj, jnp.zeros_like(bproj))
+
+    tp_ways = mesh.shape["model"]
+
+    def _local_seed(seed):
+        rank = jax.lax.axis_index("data") * tp_ways + jax.lax.axis_index("model")
+        return seed + rank.astype(jnp.int32) * 1000003
+
+    def _unfuse_grads(dwf, dbf, wqkv_shape):
+        C, _, H_loc, hd = wqkv_shape
+        return dwf.reshape(C, 3, H_loc, hd), dbf.reshape(3, H_loc, hd)
+
+    if with_dropout:
+        fwd_specs = (xs, wqkv_s, bqkv_s, wproj_s, repl, bias_s, repl)
+
+        def fwd_body(x, wqkv, bqkv, wproj, bproj, bias_l, seed):
+            wf, bf = _fuse_local(wqkv, bqkv)
+            y, mask = _wblock_ph_fwd_impl(
+                x, wf, bf, wproj, _bp_local(bproj), bias_l,
+                seed=_local_seed(seed), rate=rate, want_mask=True, head_dim=head_dim,
+            )
+            return jax.lax.psum(y, "model"), mask
+
+        def bwd_body(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask):
+            wf, bf = _fuse_local(wqkv, bqkv)
+            dx, dwf, dbf, dwproj, dbproj, dbias = _wblock_ph_bwd_impl(
+                x, wf, bf, wproj, _bp_local(bproj), bias_l, dy,
+                mask=mask, rate=rate, head_dim=head_dim,
+            )
+            dwqkv, dbqkv = _unfuse_grads(dwf, dbf, wqkv.shape)
+            dx = jax.lax.psum(dx, "model")
+            dws = jax.lax.psum((dwqkv, dbqkv, dwproj, dbproj, dbias), "data")
+            return (dx, *dws)
+
+        fwd_sm = jax.shard_map(fwd_body, mesh=mesh, in_specs=fwd_specs,
+                               out_specs=(xs, mask_s), check_vma=False)
+        bwd_sm = jax.shard_map(bwd_body, mesh=mesh,
+                               in_specs=fwd_specs[:6] + (xs, mask_s),
+                               out_specs=(xs, wqkv_s, bqkv_s, wproj_s, repl, bias_s),
+                               check_vma=False)
+
+        @jax.custom_vjp
+        def op(x, wqkv, bqkv, wproj, bproj, bias_l, seed):
+            y, _ = fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, seed)
+            return y
+
+        def op_fwd(x, wqkv, bqkv, wproj, bproj, bias_l, seed):
+            y, mask = fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, seed)
+            return y, (x, wqkv, bqkv, wproj, bproj, bias_l, mask)
+
+        def op_bwd(res, dy):
+            x, wqkv, bqkv, wproj, bproj, bias_l, mask = res
+            outs = bwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, dy, mask)
+            return tuple(outs) + (None,)
+
+        op.defvjp(op_fwd, op_bwd)
+        return op
+
+    fwd_specs = (xs, wqkv_s, bqkv_s, wproj_s, repl, bias_s)
+
+    def fwd_body(x, wqkv, bqkv, wproj, bproj, bias_l):
+        wf, bf = _fuse_local(wqkv, bqkv)
+        y = _wblock_ph_fwd_impl(x, wf, bf, wproj, _bp_local(bproj), bias_l,
+                                head_dim=head_dim)
+        return jax.lax.psum(y, "model")
+
+    def bwd_body(x, wqkv, bqkv, wproj, bproj, bias_l, dy):
+        wf, bf = _fuse_local(wqkv, bqkv)
+        dx, dwf, dbf, dwproj, dbproj, dbias = _wblock_ph_bwd_impl(
+            x, wf, bf, wproj, _bp_local(bproj), bias_l, dy, head_dim=head_dim,
+        )
+        dwqkv, dbqkv = _unfuse_grads(dwf, dbf, wqkv.shape)
+        dx = jax.lax.psum(dx, "model")
+        dws = jax.lax.psum((dwqkv, dbqkv, dwproj, dbproj, dbias), "data")
+        return (dx, *dws)
+
+    fwd_sm = jax.shard_map(fwd_body, mesh=mesh, in_specs=fwd_specs,
+                           out_specs=xs, check_vma=False)
+    bwd_sm = jax.shard_map(bwd_body, mesh=mesh, in_specs=fwd_specs + (xs,),
+                           out_specs=(xs, wqkv_s, bqkv_s, wproj_s, repl, bias_s),
+                           check_vma=False)
+
+    @jax.custom_vjp
+    def op(x, wqkv, bqkv, wproj, bproj, bias_l):
+        return fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l)
+
+    def op_fwd(x, wqkv, bqkv, wproj, bproj, bias_l):
+        return (fwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l),
+                (x, wqkv, bqkv, wproj, bproj, bias_l))
+
+    def op_bwd(res, dy):
+        x, wqkv, bqkv, wproj, bproj, bias_l = res
+        return tuple(bwd_sm(x, wqkv, bqkv, wproj, bproj, bias_l, dy))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def sharded_window_block_tp(mesh, x, wqkv, bqkv, wproj, bproj, bias_l, seed=None, rate=0.0):
+    """The whole-block kernel over a (data, model) mesh with head-sharded
+    weights. wqkv/bqkv arrive UNFUSED: [C, 3, H, hd] / [3, H, hd] (the
+    parameter layout parallel/tp.py shards on the head axis)."""
+    head_dim = wqkv.shape[-1]
+    if seed is None:
+        return _sharded_wblock_tp_op(mesh, 0.0, False, head_dim)(
+            x, wqkv, bqkv, wproj, bproj, bias_l)
+    return _sharded_wblock_tp_op(mesh, float(rate), True, head_dim)(
+        x, wqkv, bqkv, wproj, bproj, bias_l, seed)
 
 
 # ---------------------------------------------------------------------------

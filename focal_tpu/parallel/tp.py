@@ -36,9 +36,14 @@ output proj is row-parallel ([C, C] rows are head-major) and the relative-
 position-bias table shards on its head axis. Fusion-block MHA
 (nn.MultiHeadDotProductAttention) kernels are already head-shaped
 [C, H, hd] / [H, hd, C] and shard the same way. Requires H % mp == 0,
-else those leaves replicate. The pallas kernels are DP-only (shard_map
-over ``data``); the registry routes attention through the XLA path when
-model_parallel > 1.
+else those leaves replicate.
+
+Round 5: the PER-HEAD whole-block pallas kernel runs under TP too —
+shard_map over (data, model) with whole heads per model shard
+(ops.pallas_kernels.sharded_window_block_tp; routed by swin.WindowAttention
+when the mesh has a ``model`` axis, H % mp == 0, and the per-head grid fits
+VMEM). The attention-only, fused-MLP and conv-tower kernels remain DP-only
+and fall back to XLA under TP.
 """
 
 import re

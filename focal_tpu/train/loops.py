@@ -80,23 +80,24 @@ class Run:
         n_dev = self.mesh_plan.dp if self.mesh_plan else 1
         per_device = train_bytes // n_dev if self.data_layout == "sharded" else train_bytes
         budget = strm.device_budget_bytes(args)
-        if per_device > budget and self.mesh_plan is not None and self.mesh_plan.mp > 1:
-            logging.warning(
-                f"= Train split needs {per_device / 1e9:.2f} GB/device over the "
-                f"{budget / 1e9:.2f} GB budget; streaming is DP-only, continuing "
-                "device-resident under tensor parallelism"
-            )
-        elif per_device > budget:
+        if per_device > budget:
+            # streaming composes with TP: blocks shard P(None, 'data') over
+            # the 2-D mesh (replicated over ``model``) while the state keeps
+            # its TP layout (the block jits carry state_shardings)
             self.streaming = True
             self.data_layout = "replicated"  # streaming feeds whole batches
             multi = (
                 f" ({dist.process_count()} processes, each feeding its local "
                 "batch columns)" if dist.process_count() > 1 else ""
             )
+            tp_note = (
+                f" (state stays {self.mesh_plan.mp}-way model-sharded)"
+                if self.mesh_plan is not None and self.mesh_plan.mp > 1 else ""
+            )
             logging.info(
                 f"= Train split {train_bytes / 1e9:.2f} GB exceeds the "
                 f"{budget / 1e9:.2f} GB/device HBM budget: streaming host->device "
-                f"in double-buffered blocks{multi}"
+                f"in double-buffered blocks{multi}{tp_note}"
             )
 
         # device-resident split data
@@ -334,6 +335,7 @@ def _classifier_loop(args, run, train_epochs, fixed_aug, tx_builder, stage_name)
             mesh_plan=run.mesh_plan,
             seed=args.seed + 29,
             block_steps=getattr(args, "stream_block_steps", 0) or strm.BLOCK_STEPS,
+            state_shardings=state_sh,
         )
 
     def _make_fn(k):
@@ -457,14 +459,6 @@ def pretrain(args):
     # per-micro MultiSteps fallback applies (negatives stay per-micro-batch)
     grad_accum = max(1, getattr(args, "grad_accum", 1) or 1)
     accum_gather = grad_accum > 1 and not getattr(args, "no_accum_gather", False)
-    if accum_gather and run.streaming:
-        logging.warning(
-            "= -grad_accum under streaming falls back to per-micro-batch "
-            "accumulation (optax.MultiSteps): contrastive negatives do NOT "
-            "span the effective batch. Raise -hbm_budget_gb or pass "
-            "-no_accum_gather to silence."
-        )
-        accum_gather = False
     tx, _ = build_optimizer(
         args, state.params, steps_per_epoch=len(run.train_loader),
         epochs_override=getattr(args, "epochs", None), accum_in_step=accum_gather,
@@ -524,6 +518,9 @@ def pretrain(args):
             fused_views=not getattr(args, "no_fused_views", False),
             seed=args.seed + 29,
             block_steps=getattr(args, "stream_block_steps", 0) or strm.BLOCK_STEPS,
+            grad_accum=grad_accum,
+            accum_gather=accum_gather,
+            state_shardings=state_sh,
         )
 
     def _make_fn(k):
@@ -563,6 +560,7 @@ def pretrain(args):
             run.model, run.augmenter, "feat",
             host_data=run.host_train_data, mesh_plan=run.mesh_plan,
             batch_size=run.train_loader.batch_size, n_rows=len(train_ds),
+            state_shardings=state_sh,
         )
         fwd_feat_train = lambda state, data, idx: sfwd(state)
         knn_plan = strm.StreamingEvalPlan(train_ds.labels, sfwd)

@@ -226,6 +226,77 @@ def _shard_batch(batch, mesh_plan):
     )
 
 
+def make_micro_features(model, fuse_views, split_views, fused_views):
+    """(params, batch_stats, view1, view2, rng_drop) -> (f1, f2, new_stats)
+    for one micro-batch. Train-mode BatchNorm normalises with batch
+    statistics, so f1/f2 do not depend on batch_stats — the gathered-accum
+    pass 2 may recompute with any stats value."""
+
+    def micro_features(params, batch_stats, view1, view2, rng_drop):
+        from types import SimpleNamespace
+
+        st = SimpleNamespace(params=params, batch_stats=batch_stats)
+        if fused_views:
+            both = fuse_views(view1, view2)
+            feats, new_stats = _apply_train(model, st, both, rng_drop, "proj")
+            f1, f2 = split_views(feats)
+            return f1, f2, new_stats
+        f1, stats1 = _apply_train(model, st, view1, rng_drop, "proj")
+        st2 = SimpleNamespace(params=params, batch_stats=stats1)
+        f2, stats2 = _apply_train(model, st2, view2,
+                                  jax.random.fold_in(rng_drop, 1), "proj")
+        return f1, f2, stats2
+
+    return micro_features
+
+
+def gathered_accum_update(focal_loss, micro_features, views_of, state, micro_ids):
+    """One EFFECTIVE GradCache step over ``micro_ids``: gather projector
+    features per micro-batch (pass 1), ONE concatenated FOCAL loss over the
+    effective batch (negatives/ranking span it), then recompute each
+    micro-forward under jax.vjp and pull the feature cotangents back into
+    parameter gradients (pass 2). ``views_of(i)`` must be deterministic in i
+    — pass 2 rebuilds the exact views pass 1 saw. Shared by the
+    device-resident epoch fn and the streaming blocks."""
+
+    # ---- pass 1: features only (activations freed per micro-batch)
+    def collect(stats, i):
+        view1, view2, rng_drop = views_of(i)
+        f1, f2, new_stats = micro_features(state.params, stats, view1, view2, rng_drop)
+        return new_stats, (f1, f2)
+
+    new_stats, (f1s, f2s) = jax.lax.scan(collect, state.batch_stats, micro_ids)
+
+    # ---- the large-batch loss on concatenated features
+    def loss_of_feats(stacked):
+        s1, s2 = stacked
+        F1 = {m: v.reshape((-1,) + v.shape[2:]) for m, v in s1.items()}
+        F2 = {m: v.reshape((-1,) + v.shape[2:]) for m, v in s2.items()}
+        loss, _ = focal_loss(F1, F2)
+        return loss
+
+    loss, gfeats = jax.value_and_grad(loss_of_feats)((f1s, f2s))
+    gf1s, gf2s = gfeats
+
+    # ---- pass 2: recompute each micro-forward under vjp, pull the
+    # feature cotangents back into param grads, sum
+    def backprop(acc, args_i):
+        i, gf1, gf2 = args_i
+        view1, view2, rng_drop = views_of(i)
+
+        def fwd(params):
+            f1, f2, _ = micro_features(params, state.batch_stats, view1, view2, rng_drop)
+            return f1, f2
+
+        _, vjp_fn = jax.vjp(fwd, state.params)
+        (g,) = vjp_fn((gf1, gf2))
+        return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    grads, _ = jax.lax.scan(backprop, zero, (micro_ids, gf1s, gf2s))
+    return state.apply_gradients(grads=grads).replace(batch_stats=new_stats), loss
+
+
 def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
                            subseq_idx=None, mesh_plan=None, fused_views=True,
                            epochs_per_call=1, data_layout="replicated",
@@ -351,66 +422,15 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
         view2 = augmenter.random(rng_v2, batch, force_aug_id=a2)
         return view1, view2, rng_drop
 
-    def micro_features(params, batch_stats, view1, view2, rng_drop):
-        """(f1, f2, new_stats) for one micro-batch. Train-mode BatchNorm
-        normalises with batch statistics, so f1/f2 do not depend on
-        batch_stats — pass 2 may recompute with any stats value."""
-        from types import SimpleNamespace
-
-        st = SimpleNamespace(params=params, batch_stats=batch_stats)
-        if fused_views:
-            both = fuse_views(view1, view2)
-            feats, new_stats = _apply_train(model, st, both, rng_drop, "proj")
-            f1, f2 = split_views(feats)
-            return f1, f2, new_stats
-        f1, stats1 = _apply_train(model, st, view1, rng_drop, "proj")
-        st2 = SimpleNamespace(params=params, batch_stats=stats1)
-        f2, stats2 = _apply_train(model, st2, view2,
-                                  jax.random.fold_in(rng_drop, 1), "proj")
-        return f1, f2, stats2
+    micro_features = make_micro_features(model, fuse_views, split_views, fused_views)
 
     def accum_body(state, e, data, subseq_rows, perm, step_rng, epoch=None):
         """One EFFECTIVE step: gather features over grad_accum micro-batches,
-        one concatenated FOCAL loss, vjp recompute, one update."""
+        one concatenated FOCAL loss, vjp recompute, one update
+        (gathered_accum_update)."""
         micro_ids = e * grad_accum + jnp.arange(grad_accum)
-
-        # ---- pass 1: features only (activations freed per micro-batch)
-        def collect(stats, i):
-            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i, epoch)
-            f1, f2, new_stats = micro_features(state.params, stats, view1, view2, rng_drop)
-            return new_stats, (f1, f2)
-
-        new_stats, (f1s, f2s) = jax.lax.scan(collect, state.batch_stats, micro_ids)
-
-        # ---- the large-batch loss on concatenated features
-        def loss_of_feats(stacked):
-            s1, s2 = stacked
-            F1 = {m: v.reshape((-1,) + v.shape[2:]) for m, v in s1.items()}
-            F2 = {m: v.reshape((-1,) + v.shape[2:]) for m, v in s2.items()}
-            loss, _ = focal_loss(F1, F2)
-            return loss
-
-        loss, gfeats = jax.value_and_grad(loss_of_feats)((f1s, f2s))
-        gf1s, gf2s = gfeats
-
-        # ---- pass 2: recompute each micro-forward under vjp, pull the
-        # feature cotangents back into param grads, sum
-        def backprop(acc, args_i):
-            i, gf1, gf2 = args_i
-            view1, view2, rng_drop = micro_views(data, subseq_rows, perm, step_rng, i, epoch)
-
-            def fwd(params):
-                f1, f2, _ = micro_features(params, state.batch_stats, view1, view2, rng_drop)
-                return f1, f2
-
-            _, vjp_fn = jax.vjp(fwd, state.params)
-            (g,) = vjp_fn((gf1, gf2))
-            return jax.tree_util.tree_map(jnp.add, acc, g), None
-
-        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        grads, _ = jax.lax.scan(backprop, zero, (micro_ids, gf1s, gf2s))
-        new_state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
-        return new_state, loss
+        views_of = lambda i: micro_views(data, subseq_rows, perm, step_rng, i, epoch)
+        return gathered_accum_update(focal_loss, micro_features, views_of, state, micro_ids)
 
     def _tail_step(state, data, subseq_rows, perm, step_rng, epoch):
         """The reference sampler's ragged final batch: one update on the

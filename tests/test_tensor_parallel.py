@@ -185,6 +185,116 @@ def test_tp_supervised_step_and_eval(tmp_path):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(outT), rtol=1e-4, atol=1e-5)
 
 
+def test_tp_gathered_accum_matches_single_device(tmp_path):
+    """grad_accum's GradCache two-pass under dp x tp must reproduce the
+    single-device gathered update (round-5 support matrix: TP x grad_accum)."""
+    from focal_tpu.train.steps import make_pretrain_epoch_fn
+
+    args, model, augmenter, data, state = _setup(tmp_path, "DeepSense")
+    focal = make_focal_loss(args)
+    seq_len = args.dataset_config["seq_len"]
+    subseq_idx = np.arange(64).reshape(-1, seq_len)  # 16 subsequences
+    rng = jax.random.key(5)
+    kw = dict(n_items=16, batch_size=32, subseq_idx=subseq_idx,
+              grad_accum=2, accum_gather=True)
+
+    state_a = jax.tree_util.tree_map(jnp.copy, state)
+    fn1 = make_pretrain_epoch_fn(model, augmenter, focal, mesh_plan=None, **kw)
+    s1, loss1 = fn1(state_a, data, rng)
+
+    plan = make_mesh_plan(4, 2)
+    sh = tp.state_shardings(state, plan)
+    state_b = jax.device_put(jax.tree_util.tree_map(jnp.copy, state), sh)
+    fnT = make_pretrain_epoch_fn(model, augmenter, focal, mesh_plan=plan,
+                                 state_shardings=sh, **kw)
+    sT, lossT = fnT(state_b, put_replicated(data, plan), rng)
+
+    assert np.isclose(float(loss1), float(lossT), rtol=1e-4)
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s1.params)[0],
+        jax.tree_util.tree_flatten_with_path(sT.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=1e-5,
+            err_msg=tp._path_str(p1),
+        )
+
+
+class TestTPWholeBlockKernel:
+    """The per-head whole-block pallas kernel under the (data, model) mesh
+    (ops.pallas_kernels.sharded_window_block_tp): value and every gradient
+    must match the plain XLA WindowAttention, and the TP module must actually
+    take the kernel route (not the XLA fallback)."""
+
+    def _modules(self, C, H, plan):
+        from focal_tpu.models.swin import WindowAttention
+
+        kw = dict(dim=C, window_size=(3, 3), num_heads=H)
+        plain = WindowAttention(use_pallas=False, **kw)
+        tp_mod = WindowAttention(
+            use_pallas=True, use_pallas_block=True, pallas_mesh=plan.mesh, **kw
+        )
+        return plain, tp_mod
+
+    @pytest.mark.parametrize("C,H,nW", [(256, 4, 1), (256, 4, 4), (128, 8, 1)])
+    def test_tp_block_matches_xla(self, C, H, nW):
+        from focal_tpu.models.swin import shifted_window_mask
+
+        plan = make_mesh_plan(4, 2)
+        if plan is None:
+            pytest.skip("needs the 8-device virtual mesh")
+        mask = shifted_window_mask(6, 6, 3, 3, 1, 1) if nW == 4 else None
+        plain, tp_mod = self._modules(C, H, plan)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(128, 9, C)).astype(np.float32))
+        v = plain.init({"params": jax.random.key(0)}, x, mask, train=False)
+
+        out_p = plain.apply(v, x, mask, train=False)
+        out_t = tp_mod.apply(v, x, mask, train=False)
+        # C>=128 computes in bf16 inside the kernel (same as the DP variant)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_p), atol=3e-2)
+
+        def loss(m):
+            return lambda vv: jnp.sum(jnp.sin(m.apply(vv, x, mask, train=False)))
+
+        gp = jax.grad(loss(plain))(v)
+        gt = jax.jit(jax.grad(loss(tp_mod)))(v)
+        for (p1, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gp)[0],
+            jax.tree_util.tree_flatten_with_path(gt)[0],
+        ):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+            assert rel < 6e-3, (tp._path_str(p1), rel)
+        gx_p = jax.grad(lambda x: jnp.sum(jnp.sin(plain.apply(v, x, mask, train=False))))(x)
+        gx_t = jax.grad(lambda x: jnp.sum(jnp.sin(tp_mod.apply(v, x, mask, train=False))))(x)
+        rel = float(jnp.abs(gx_p - gx_t).max() / (jnp.abs(gx_p).max() + 1e-9))
+        assert rel < 6e-3, rel
+
+    def test_tp_route_is_taken(self, monkeypatch):
+        """The (data, model) mesh must dispatch to sharded_window_block_tp —
+        guards against the gate silently regressing to the XLA fallback."""
+        from focal_tpu.ops import pallas_kernels as pk
+
+        plan = make_mesh_plan(4, 2)
+        if plan is None:
+            pytest.skip("needs the 8-device virtual mesh")
+        calls = []
+        real = pk.sharded_window_block_tp
+        import focal_tpu.models.swin as swin_mod
+
+        def spy(mesh, *a, **kw):
+            calls.append(mesh.shape)
+            return real(mesh, *a, **kw)
+
+        monkeypatch.setattr(pk, "sharded_window_block_tp", spy)
+        plain, tp_mod = self._modules(256, 4, plan)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(128, 9, 256)).astype(np.float32))
+        v = plain.init({"params": jax.random.key(0)}, x, None, train=False)
+        tp_mod.apply(v, x, None, train=False)
+        assert calls and calls[0]["model"] == 2
+
+
 @pytest.mark.slow
 def test_tp_cli_e2e(tmp_path):
     """Full train.py supervised run under dp2 x tp2 on synthetic data."""
