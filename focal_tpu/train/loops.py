@@ -459,8 +459,25 @@ def pretrain(args):
     # per-micro MultiSteps fallback applies (negatives stay per-micro-batch)
     grad_accum = max(1, getattr(args, "grad_accum", 1) or 1)
     accum_gather = grad_accum > 1 and not getattr(args, "no_accum_gather", False)
+    updates_per_epoch = len(run.train_loader)
+    if getattr(args, "ragged_tail", False) and not run.streaming:
+        # the tail step is one extra optimizer update per epoch; the
+        # epoch-granular schedule must keep pacing by TRUE epochs (the
+        # reference steps its scheduler once per epoch regardless of the
+        # sampler's batch count)
+        tl = run.train_loader
+        units = tl.dataset.num_subseqs if tl.sequence else len(tl.dataset)
+        per_units = (
+            max(1, tl.batch_size // args.dataset_config["seq_len"]) if tl.sequence
+            else min(tl.batch_size, units)
+        )
+        tail = units % per_units
+        # mirror steps.make_pretrain_epoch_fn: a 1-subsequence tail is
+        # dropped (degenerate ranking loss)
+        if tail >= 2 or (tail and not tl.sequence):
+            updates_per_epoch += 1
     tx, _ = build_optimizer(
-        args, state.params, steps_per_epoch=len(run.train_loader),
+        args, state.params, steps_per_epoch=updates_per_epoch,
         epochs_override=getattr(args, "epochs", None), accum_in_step=accum_gather,
     )
     state = state.replace(tx=tx, opt_state=tx.init(state.params))

@@ -387,7 +387,11 @@ def make_pretrain_epoch_fn(model, augmenter, focal_loss, n_items, batch_size,
     tail_units = 0 if sharded else n_items % per
     if ragged_tail and (sharded or grad_accum > 1):
         raise ValueError("-ragged_tail supports the replicated layout with grad_accum=1 only")
-    tail_active = ragged_tail and tail_units > 0
+    # a 1-subsequence tail is degenerate: the temporal ranking loss has zero
+    # inter-subsequence pairs (mean of an empty set -> NaN — the reference's
+    # own loss.py:108-137 NaNs identically on such a tail batch), so it is
+    # dropped even under -ragged_tail
+    tail_active = ragged_tail and (tail_units >= 2 if subseq_idx is not None else tail_units > 0)
     eff_steps_per_epoch = steps_per_epoch // grad_accum if gathered_accum else steps_per_epoch
     # state.step advances once per update; with the tail step each epoch makes
     # one extra update, so the epoch derivation divides by the larger count

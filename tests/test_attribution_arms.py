@@ -123,24 +123,28 @@ def test_aug_id_table_is_deterministic_and_applied(setup):
 
 
 def test_ragged_tail_adds_one_update_per_epoch(setup):
-    """5 subsequences at per=2: default runs 2 updates/epoch (tail dropped);
-    -ragged_tail runs 3 and the tail update moves the params."""
+    """5 subsequences at per=3 (batch 12): default runs 1 update/epoch (tail
+    dropped); -ragged_tail runs 2 — the 2-subsequence tail update moves the
+    params. A 1-subsequence tail (per=2) is dropped even under the flag:
+    the temporal ranking loss is degenerate there (NaN in the reference's
+    own math too)."""
     from focal_tpu.train.steps import make_pretrain_epoch_fn
 
     args, model, augmenter, focal_loss, data, subseq_idx, state0 = setup
     n_items = subseq_idx.shape[0]
-    kw = dict(n_items=n_items, batch_size=8, subseq_idx=subseq_idx)
     rng = jax.random.key(7)
+    kw = dict(n_items=n_items, batch_size=12, subseq_idx=subseq_idx)
 
     fn_drop = make_pretrain_epoch_fn(model, augmenter, focal_loss, **kw)
     fn_tail = make_pretrain_epoch_fn(model, augmenter, focal_loss, ragged_tail=True, **kw)
-    assert fn_drop.windows_per_epoch == 2 * 2 * 4  # 2 steps x 2 subseq x seq 4
-    assert fn_tail.windows_per_epoch == 2 * 2 * 4 + 1 * 4  # + 1-subseq tail
+    assert fn_drop.windows_per_epoch == 1 * 3 * 4  # 1 step x 3 subseq x seq 4
+    assert fn_tail.windows_per_epoch == 1 * 3 * 4 + 2 * 4  # + 2-subseq tail
 
     st_d, _ = fn_drop(jax.tree_util.tree_map(jnp.copy, state0), data, rng)
-    st_t, _ = fn_tail(jax.tree_util.tree_map(jnp.copy, state0), data, rng)
-    assert int(st_d.step) == 2
-    assert int(st_t.step) == 3
+    st_t, loss_t = fn_tail(jax.tree_util.tree_map(jnp.copy, state0), data, rng)
+    assert int(st_d.step) == 1
+    assert int(st_t.step) == 2
+    assert np.isfinite(float(loss_t))
     assert any(
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(
@@ -150,7 +154,48 @@ def test_ragged_tail_adds_one_update_per_epoch(setup):
     # second epoch: the step-derived epoch index must advance by exactly one
     # (state.step // updates_per_epoch), keeping shuffles epoch-distinct
     st_t2, _ = fn_tail(st_t, data, rng)
-    assert int(st_t2.step) == 6
+    assert int(st_t2.step) == 4
+
+    # the degenerate 1-subsequence tail (per=2 -> 5 % 2 = 1) stays dropped
+    fn_one = make_pretrain_epoch_fn(model, augmenter, focal_loss, ragged_tail=True,
+                                    n_items=n_items, batch_size=8,
+                                    subseq_idx=subseq_idx)
+    assert fn_one.windows_per_epoch == 2 * 2 * 4  # tail NOT counted
+
+
+def test_ragged_tail_lr_paces_by_true_epochs(tmp_path, monkeypatch):
+    """The tail step adds one optimizer update per epoch; the epoch-granular
+    schedule must divide by updates-per-epoch INCLUDING the tail (the
+    reference steps its scheduler once per epoch regardless of the sampler's
+    batch count) — otherwise the arm trains on a compressed schedule and the
+    attribution is confounded."""
+    from focal_tpu.params.auto import set_auto_params
+    from focal_tpu.params.cli import build_parser
+    from focal_tpu.train import loops
+
+    captured = {}
+    real = loops.build_optimizer
+
+    def spy(args, params, steps_per_epoch, **kw):
+        captured["spe"] = steps_per_epoch
+        return real(args, params, steps_per_epoch, **kw)
+
+    monkeypatch.setattr(loops, "build_optimizer", spy)
+    # 32 samples = 8 subsequences at seq 4; batch 12 -> per=3 -> 2 full
+    # steps + a 2-subsequence tail (tails of ONE subsequence are dropped:
+    # degenerate ranking loss, see steps.make_pretrain_epoch_fn)
+    args = build_parser().parse_args(
+        ["-dataset", "MOD_TINY", "-model", "DeepSense", "-learn_framework", "FOCAL",
+         "-stage", "pretrain", "-synthetic", "-synthetic_samples", "32",
+         "-batch_size", "12", "-epochs", "1", "-val_epochs", "1",
+         "-compute_dtype", "float32", "-ragged_tail"]
+    )
+    args.option = "train"
+    args.output_dir = str(tmp_path)
+    args = set_auto_params(args)
+    state, _ = loops.pretrain(args)
+    assert captured["spe"] == 3  # 2 full steps + the tail update
+    assert int(state.step) == 3
 
 
 def test_arm_flags_rejected_outside_replicated_single_step(setup):
