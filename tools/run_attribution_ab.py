@@ -101,6 +101,15 @@ INIT_COMPONENTS = {
     "proj": ("mod_projector_",),
 }
 
+# leaf-level refinements of the `proj` component: torch Linear init differs
+# from flax Dense in BOTH the kernel distribution (kaiming_uniform(a=sqrt(5))
+# vs lecun_normal) AND the bias (U(-1/sqrt(f), 1/sqrt(f)) vs zeros); these
+# arms isolate which half carries the effect
+INIT_LEAF_COMPONENTS = {
+    "proj_kernel": ("mod_projector_", "kernel"),
+    "proj_bias": ("mod_projector_", "bias"),
+}
+
 
 def make_torch_init_checkpoint(recipe, out_dir, torch_seed, components=None):
     """Reference-initialised DeepSense -> flax params checkpoint.
@@ -171,13 +180,41 @@ def make_torch_init_checkpoint(recipe, out_dir, torch_seed, components=None):
     params, stats = import_deepsense_state_dict(sd, variables, cfg)
     suffix = "" if components is None else "_" + "_".join(sorted(components))
     if components is not None:
-        prefixes = tuple(p for c in components for p in INIT_COMPONENTS[c])
+        prefixes = tuple(
+            p for c in components if c in INIT_COMPONENTS for p in INIT_COMPONENTS[c]
+        )
+        leaf_rules = [INIT_LEAF_COMPONENTS[c] for c in components
+                      if c in INIT_LEAF_COMPONENTS]
+        unknown = [c for c in components
+                   if c not in INIT_COMPONENTS and c not in INIT_LEAF_COMPONENTS]
+        if unknown:
+            raise ValueError(f"unknown init components: {unknown}")
+
+        def merge_leaves(flax_sub, torch_sub, leaf_name):
+            """Replace only leaves named leaf_name (e.g. 'kernel'), keeping
+            the rest of the subtree flax-initialised."""
+            out = {}
+            for k, v in flax_sub.items():
+                if isinstance(v, dict):
+                    out[k] = merge_leaves(v, torch_sub[k], leaf_name)
+                elif k == leaf_name:
+                    out[k] = torch_sub[k]
+                else:
+                    out[k] = v
+            return out
 
         def merge(flax_tree, torch_tree):
-            return {
-                k: (torch_tree[k] if k.startswith(prefixes) else flax_tree[k])
-                for k in flax_tree
-            }
+            out = {}
+            for k in flax_tree:
+                if prefixes and k.startswith(prefixes):
+                    out[k] = torch_tree[k]
+                    continue
+                v = flax_tree[k]
+                for top_prefix, leaf_name in leaf_rules:
+                    if k.startswith(top_prefix) and isinstance(v, dict):
+                        v = merge_leaves(v, torch_tree[k], leaf_name)
+                out[k] = v
+            return out
 
         params = merge(dict(state.params), dict(params))
         stats = merge(dict(state.batch_stats), dict(stats))
@@ -196,6 +233,8 @@ ARM_FLAGS = {
     "both": ["@init", "-ref_lr_timing"],
     "py_draws": ["-py_aug_draws"],
     "ragged_tail": ["-ragged_tail"],
+    "init_proj_kernel": ["@init:proj_kernel"],
+    "init_proj_bias": ["@init:proj_bias"],
 }
 
 
