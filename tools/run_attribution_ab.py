@@ -235,6 +235,10 @@ ARM_FLAGS = {
     "ragged_tail": ["-ragged_tail"],
     "init_proj_kernel": ["@init:proj_kernel"],
     "init_proj_bias": ["@init:proj_bias"],
+    # every reproduced reference-loop deviation at once: torch init +
+    # epoch-END lr timing + the sampler's ragged tail batches — how close
+    # does focal_tpu get to the reference's own 0.49?
+    "ref_like": ["@init", "-ref_lr_timing", "-ragged_tail"],
 }
 
 
