@@ -23,7 +23,8 @@ sys.path.insert(0, REPO)
 from run_attribution_ab import parse_backend, parse_metrics, run  # noqa: E402
 
 # finetune-relevant flags per arm prefix (init/pretrain-only arms add none)
-FT_FLAGS = {"ref_lr": ["-ref_lr_timing"], "both": ["-ref_lr_timing"]}
+FT_FLAGS = {"ref_lr": ["-ref_lr_timing"], "both": ["-ref_lr_timing"],
+            "ref_like": ["-ref_lr_timing"]}
 
 
 def main():
@@ -78,6 +79,7 @@ def main():
         }
         with open(results_path, "w") as f:
             json.dump(results, f, indent=2)
+            f.write("\n")
             f.write("\n")
         print(json.dumps({out_key: results[out_key]}), flush=True)
 
